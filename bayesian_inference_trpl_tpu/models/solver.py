@@ -1,0 +1,190 @@
+"""BDF time-evolution of the TRPL model as a single fused XLA computation.
+
+TPU-first design decisions (vs the reference GPU kernel, pvSimPCR.py:227-306):
+
+* The sample axis is the leading batch dimension; the L=128 spatial axis sits
+  on the TPU lanes.  One ``jax.lax.scan`` covers the whole time horizon with
+  no per-step host synchronization (the reference re-launches kernels and
+  round-trips PL through the host per 1024-sample block).
+* PL is emitted by an outer scan whose step advances ``pl_stride`` BDF steps
+  (inner ``fori_loop``), so memory for the PL trace is exactly
+  (T // pl_stride, batch) and per-sample state recording stays bounded.
+* The observation log-likelihood can be *fused into the scan*: instead of
+  materializing a (batch, T+1) PL matrix, log10-ing it, and reducing it in a
+  separate kernel (reference: bayeslib.py:157-201 -> probs.py), the scan
+  carries running sums of the log-residual and its square.  The sampled
+  ``mag_offset`` enters the likelihood in closed form afterwards:
+  sum((e + m)^2) = sum(e^2) + 2 m sum(e) + n m^2.
+* Non-convergence is a per-sample flag, not a global abort
+  (reference: pvSimPCR.py:269-292).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .trpl import BDF_TABLE, HISTORY, MatParams, implicit_step
+
+
+class SolverConfig(NamedTuple):
+    """Static solve configuration (nondimensional grid: dt == 1)."""
+    num_steps: int                 # T: number of BDF steps
+    pl_stride: int = 1             # plT: record PL every pl_stride steps
+    tol: float = 1e-7              # Newton convergence tolerance (10^-tol_exp)
+    max_iters: int = 10000         # Newton iteration cap per step
+    record_state_stride: Optional[int] = None  # emit (N, P, E) snapshots
+
+
+class FusedObs(NamedTuple):
+    """Observations for in-scan likelihood accumulation.
+
+    ``values``: (num_exp, T // pl_stride + 1) log10 PL observations on the
+    simulation PL grid.  ``log_scale``: log10 of the PL redimensionalization
+    factor 1/(dx^2 dt); added to log10 of the nondimensional PL.
+    ``min_val``: clamp floor applied to PL before log10
+    (reference: probs.py:64-76 via bayeslib.py:157).
+    """
+    values: jax.Array
+    log_scale: jax.Array
+    min_val: float
+    normalize: bool = False        # self_normalize: divide PL by its t=0 value
+
+
+class SolveResult(NamedTuple):
+    pl: Optional[jax.Array]        # (batch, T // pl_stride + 1) nondim PL
+    n: jax.Array                   # final N (batch, L)
+    p: jax.Array
+    e: jax.Array
+    converged: jax.Array           # (batch,) bool: no step hit max_iters
+    max_newton_iters: jax.Array    # scalar int32: worst-case iterations
+    sse: Optional[jax.Array]       # (num_exp, batch) running sum of e^2
+    err_sum: Optional[jax.Array]   # (num_exp, batch) running sum of e
+    states: Optional[tuple] = None  # optional (N, P, E) snapshot stacks
+
+
+def pl_observable(N, P, mp: MatParams):
+    """Nondimensional PL: rate * sum_n(N P - n0 p0) (reference: pvSimPCR.py:276-281)."""
+    L = N.shape[-1]
+    return mp.rate * (jnp.sum(N * P, axis=-1) - L * mp.n0 * mp.p0)
+
+
+def _bdf_coeffs(t, dtype):
+    """(a0, slot-weight vector) for step t -> t+1 with rolling slot layout."""
+    a = jnp.asarray(BDF_TABLE, dtype)[jnp.minimum(t, 4)]
+    slots = jnp.mod(t - jnp.arange(5), HISTORY)        # k, ko, ko2, ko3, ko4
+    w = jnp.zeros((HISTORY,), dtype=dtype).at[slots].set(a[1:])
+    return a[0], w
+
+
+def _log_pl(pl, obs: FusedObs, pl0):
+    val = pl / pl0 if obs.normalize else pl
+    val = jnp.maximum(val, obs.min_val)
+    out = jnp.log10(val)
+    return out if obs.normalize else out + obs.log_scale
+
+
+def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
+          obs: Optional[FusedObs] = None, record_pl: bool = True) -> SolveResult:
+    """Evolve a batch of TRPL simulations for cfg.num_steps BDF steps.
+
+    Args:
+      mat_nd: (batch, 12) nondimensionalized material parameters.
+      n_init/p_init/e_init: (batch, L) initial state (E on edges 0..L-1).
+      obs: optional fused observations (enables in-scan likelihood).
+      record_pl: emit the PL trace (can be False when obs is fused).
+    """
+    mp = MatParams.from_array(mat_nd)
+    dtype = n_init.dtype
+    mp = mp.astype(dtype)
+    batch, L = n_init.shape
+    T, stride = cfg.num_steps, cfg.pl_stride
+    if T % stride:
+        raise ValueError(f"num_steps={T} not divisible by pl_stride={stride}")
+    n_outer = T // stride
+    tol = jnp.asarray(cfg.tol, dtype)
+
+    nh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(n_init.astype(dtype))
+    ph = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(p_init.astype(dtype))
+    eh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(e_init.astype(dtype))
+
+    pl0 = pl_observable(n_init.astype(dtype), p_init.astype(dtype), mp)
+
+    if obs is not None:
+        e0 = _log_pl(pl0, obs, pl0) - obs.values[:, 0:1]      # (num_exp, batch)
+        sse0, esum0 = e0 ** 2, e0
+    else:
+        sse0 = esum0 = jnp.zeros((1, batch), dtype)
+
+    def bdf_step(t, nh, ph, eh):
+        a0, w = _bdf_coeffs(t, dtype)
+        bn = jnp.tensordot(w, nh, axes=1)
+        bp = jnp.tensordot(w, ph, axes=1)
+        be = jnp.tensordot(w, eh, axes=1)
+        k = jnp.mod(t, HISTORY)
+        kp = jnp.mod(t + 1, HISTORY)
+        Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)
+        Pk = jax.lax.dynamic_index_in_dim(ph, k, keepdims=False)
+        Ek = jax.lax.dynamic_index_in_dim(eh, k, keepdims=False)
+        Nn, Pn, En, iters, ok = implicit_step(
+            Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
+        nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
+        ph = jax.lax.dynamic_update_index_in_dim(ph, Pn, kp, 0)
+        eh = jax.lax.dynamic_update_index_in_dim(eh, En, kp, 0)
+        return nh, ph, eh, (Nn, Pn, En), iters, ok
+
+    def outer_step(carry, j):
+        nh, ph, eh, conv, max_it, sse, esum = carry
+        t0 = j * stride
+        if stride == 1:
+            nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh)
+            conv = conv & ok
+            max_it = jnp.maximum(max_it, iters)
+        else:
+            def inner(i, acc):
+                nh, ph, eh, conv, max_it = acc
+                nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh)
+                return nh, ph, eh, conv & ok, jnp.maximum(max_it, iters)
+            nh, ph, eh, conv, max_it = jax.lax.fori_loop(
+                0, stride, inner, (nh, ph, eh, conv, max_it))
+            kp = jnp.mod(t0 + stride, HISTORY)
+            state = tuple(jax.lax.dynamic_index_in_dim(h, kp, keepdims=False)
+                          for h in (nh, ph, eh))
+        Nn, Pn, En = state
+        pl = pl_observable(Nn, Pn, mp)
+        if obs is not None:
+            e = _log_pl(pl, obs, pl0) - jax.lax.dynamic_index_in_dim(
+                obs.values, j + 1, axis=1, keepdims=True)
+            sse = sse + e ** 2
+            esum = esum + e
+        ys = []
+        if record_pl:
+            ys.append(pl)
+        if cfg.record_state_stride is not None:
+            rec = jnp.mod((j + 1) * stride, cfg.record_state_stride) == 0
+            ys.append(tuple(jnp.where(rec, s, jnp.nan) for s in state))
+        return (nh, ph, eh, conv, max_it, sse, esum), tuple(ys)
+
+    conv0 = jnp.ones((batch,), dtype=bool)
+    carry0 = (nh, ph, eh, conv0, jnp.int32(0), sse0, esum0)
+    (nh, ph, eh, conv, max_it, sse, esum), ys = jax.lax.scan(
+        outer_step, carry0, jnp.arange(n_outer))
+
+    yi = 0
+    pl_trace = None
+    if record_pl:
+        pl_trace = jnp.concatenate([pl0[None], ys[yi]], axis=0).T  # (batch, n_outer+1)
+        yi += 1
+    states = ys[yi] if cfg.record_state_stride is not None else None
+
+    k_final = jnp.mod(T, HISTORY)
+    n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
+                     for h in (nh, ph, eh))
+    return SolveResult(
+        pl=pl_trace, n=n_f, p=p_f, e=e_f, converged=conv,
+        max_newton_iters=max_it,
+        sse=sse if obs is not None else None,
+        err_sum=esum if obs is not None else None,
+        states=states,
+    )

