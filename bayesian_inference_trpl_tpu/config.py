@@ -1,0 +1,168 @@
+"""Typed configuration for inference runs.
+
+One dataclass tree replaces the reference's in-source dicts/tuples
+(``simPar``/``ic_flags``/``gpu_info``/``sim_flags``,
+reference: parallel_bayes_gpu.py:72-124) and supports TOML round-trips so
+runs are reproducible artifacts instead of code edits.  Semantics preserved:
+per-parameter log-uniform flags, pinned parameters via min == max, equality
+overrides, time cutoff / observation selection / noise injection.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from . import physics
+
+try:  # Python >= 3.11
+    import tomllib
+except ImportError:  # pragma: no cover
+    tomllib = None
+
+
+@dataclass
+class GridConfig:
+    """Space/time discretization (reference simPar, parallel_bayes_gpu.py:72-81)."""
+    thickness: Union[float, List[float]] = 311.0   # nm; list => per-curve
+    time: float = 2000.0                           # ns
+    num_nodes: int = 128                           # L
+    num_steps: int = 80000                         # T
+    pl_stride: int = 1                             # plT
+    tol_exp: float = 7.0
+    max_iters: int = 10000
+
+    def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
+        if isinstance(self.thickness, (list, tuple)):
+            return float(self.thickness[ic_num])
+        return float(self.thickness)
+
+
+@dataclass
+class ParamSpace:
+    """Sampling box over the 13 parameters, in user (cm-based) units."""
+    min_x: List[float] = field(default_factory=lambda: [
+        1e8, 1e14, 0.0, 0.0, 1e-11, 0.1, 0.1, 1e-30, 1e-30, 1.0, 1.0, 1e-1, 0.0])
+    max_x: List[float] = field(default_factory=lambda: [
+        1e8, 1e16, 50.0, 50.0, 1e-9, 100.0, 100.0, 1e-28, 1e-28, 1000.0, 2000.0, 1e-1, 0.0])
+    do_log: List[int] = field(default_factory=lambda: [
+        1, 1, 0, 0, 1, 1, 1, 1, 1, 0, 0, 1, 0])
+
+    def bounds_converted(self):
+        """Bounds in (V, nm, ns) units."""
+        uc = physics.UNIT_CONVERSIONS
+        return (np.asarray(self.min_x) * uc, np.asarray(self.max_x) * uc)
+
+
+@dataclass
+class IcFlags:
+    """Observation preprocessing flags (reference: parallel_bayes_gpu.py:98-100)."""
+    time_cutoff: Optional[float] = 2000.0
+    select_obs_sets: Optional[List[int]] = None
+    noise_level: Optional[float] = None
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class SimFlags:
+    """Sampler/likelihood flags (reference: parallel_bayes_gpu.py:116-124)."""
+    random_sample: bool = True
+    num_points: int = 2 ** 17
+    override_equal_mu: bool = False
+    override_equal_s: bool = False
+    override_equal_auger: bool = False
+    log_pl: bool = True
+    self_normalize: bool = False
+    seed: int = 42
+
+    def as_dict(self):
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class DeviceConfig:
+    """Replaces the reference gpu_info (parallel_bayes_gpu.py:104-105):
+    chunking per device plus mesh size; device identity comes from the mesh,
+    not SLURM task ids."""
+    chunk_per_device: int = 1024
+    n_devices: Optional[int] = None     # default: all local devices
+    dtype: str = "default"              # "float32" | "float64" | "default"
+
+
+@dataclass
+class Paths:
+    init_file: str = ""
+    observation_files: List[str] = field(default_factory=list)
+    out_dirs: List[str] = field(default_factory=list)
+
+
+@dataclass
+class InferenceConfig:
+    grid: GridConfig = field(default_factory=GridConfig)
+    params: ParamSpace = field(default_factory=ParamSpace)
+    ic_flags: IcFlags = field(default_factory=IcFlags)
+    sim_flags: SimFlags = field(default_factory=SimFlags)
+    device: DeviceConfig = field(default_factory=DeviceConfig)
+    paths: Paths = field(default_factory=Paths)
+    checkpoint: bool = True
+    resume: bool = False
+
+
+def _from_dict(cls, d):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        ft = fields[k].type
+        if isinstance(v, dict):
+            sub = {"grid": GridConfig, "params": ParamSpace, "ic_flags": IcFlags,
+                   "sim_flags": SimFlags, "device": DeviceConfig, "paths": Paths}[k]
+            v = _from_dict(sub, v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str) -> InferenceConfig:
+    """Load an InferenceConfig from a TOML file."""
+    if tomllib is None:
+        raise RuntimeError("tomllib unavailable")
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    return _from_dict(InferenceConfig, data)
+
+
+def dump_config(cfg: InferenceConfig) -> str:
+    """Render a config as TOML text (no external dependency needed)."""
+    def render(value):
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, str):
+            return f'"{value}"'
+        if isinstance(value, (list, tuple)):
+            return "[" + ", ".join(render(v) for v in value) + "]"
+        return repr(float(value)) if isinstance(value, float) else repr(value)
+
+    lines = []
+    top = dataclasses.asdict(cfg)
+    scalars = {k: v for k, v in top.items() if not isinstance(v, dict)}
+    for k, v in scalars.items():
+        lines.append(f"{k} = {render(v)}")
+    for section, sub in top.items():
+        if not isinstance(sub, dict):
+            continue
+        lines.append(f"\n[{section}]")
+        for k, v in sub.items():
+            if v is None:
+                continue
+            lines.append(f"{k} = {render(v)}")
+    return "\n".join(lines) + "\n"
+
+
+def save_config(cfg: InferenceConfig, path: str):
+    with open(path, "w") as f:
+        f.write(dump_config(cfg))

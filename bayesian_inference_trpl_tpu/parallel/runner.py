@@ -1,0 +1,129 @@
+"""Sharded, chunked inference runner.
+
+One jitted SPMD program evaluates solver + fused likelihood for a chunk of
+samples sharded over the mesh's sample axis; the host loops over chunks
+(bounding device memory exactly like the reference's ``sims_per_gpu``
+batching, reference: bayeslib.py:131-146, parallel_bayes_gpu.py:104) and
+accumulates per-sample log-likelihoods.  No collective ops are needed in
+the hot path; the only cross-device movement is the initial shard placement
+and the final gather of (X, P) slices.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..models.driver import SimParams, initial_excess_density, pl_log_scale
+from ..models.solver import FusedObs, SolverConfig, solve
+from ..ops.likelihood import FLOAT_MIN, log_likelihood_from_terms
+from .. import physics
+from .mesh import make_mesh, replicated, sample_sharding
+
+
+@dataclass
+class RunnerTimers:
+    """Per-stage wall-clock accounting, mirroring the reference's
+    solver/err_sq/misc accumulators (reference: bayeslib.py:210-212)."""
+    solver_time: float = 0.0
+    err_sq_time: float = 0.0
+    misc_time: float = 0.0
+
+    def as_dict(self):
+        return dict(solver_time=self.solver_time, err_sq_time=self.err_sq_time,
+                    misc_time=self.misc_time)
+
+
+@partial(jax.jit, static_argnames=("cfg", "normalize"))
+def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
+                      normalize: bool):
+    """SPMD chunk program: solve + fused likelihood.  Returns
+    (P_chunk (num_exp, chunk), converged (chunk,))."""
+    n0 = mat_nd[:, 0:1] + dn[None, :]
+    p0 = mat_nd[:, 1:2] + dn[None, :]
+    e0 = jnp.zeros_like(n0)
+    obs = FusedObs(values=obs_values, log_scale=log_scale,
+                   min_val=FLOAT_MIN, normalize=normalize)
+    res = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
+    n_obs = obs_values.shape[-1]
+    ll = log_likelihood_from_terms(res.sse, res.err_sum, n_obs, mag[None, :])
+    ll = jnp.where(res.converged[None, :], ll, jnp.nan)
+    return ll, res.converged
+
+
+class ShardedRunner:
+    """Chunked SPMD executor over a 1-D sample mesh."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, chunk_per_device: int = 1024):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.chunk_per_device = int(chunk_per_device)
+        self.chunk = self.chunk_per_device * self.n_devices
+        self.timers = RunnerTimers()
+
+    def _shard(self, arr, dtype):
+        return jax.device_put(jnp.asarray(arr, dtype), sample_sharding(self.mesh))
+
+    def _replicate(self, arr, dtype):
+        return jax.device_put(jnp.asarray(arr, dtype), replicated(self.mesh))
+
+    def run_curve(self, X, sim: SimParams, ini_par, obs_log_values,
+                  normalize: bool = False, dtype=None,
+                  progress: Optional[Callable[[int, int], None]] = None,
+                  chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
+                  start_chunk: int = 0):
+        """Evaluate log-likelihood of every sample in X for one excitation
+        curve against observations on the simulation PL time grid.
+
+        Args:
+          X: (n, 13) sample matrix in (V, nm, ns) units (mag_offset last).
+          obs_log_values: (num_exp, sim.num_pl) log10 observed PL.
+          chunk_done: callback(chunk_index, P_chunk) for checkpointing.
+
+        Returns (P (num_exp, n), converged (n,)).
+        """
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        n = len(X)
+        num_exp = len(obs_log_values)
+        mat_nd_all = physics.nondimensionalize(np.asarray(X)[:, :12], sim.dx, sim.dt)
+        mag_all = np.asarray(X)[:, 12]
+        dn = initial_excess_density(sim, ini_par, "points", dtype=dtype)
+        dn = self._replicate(dn, dtype)
+        obs_rep = self._replicate(np.asarray(obs_log_values), dtype)
+        log_scale = jnp.asarray(pl_log_scale(sim), dtype)
+        cfg = sim.solver_config()
+
+        P = np.full((num_exp, n), np.nan)
+        conv = np.zeros(n, dtype=bool)
+        n_chunks = -(-n // self.chunk)
+        for ci in range(start_chunk, n_chunks):
+            lo = ci * self.chunk
+            hi = min(lo + self.chunk, n)
+            size = hi - lo
+            pad = self.chunk - size
+            mat_c = mat_nd_all[lo:hi]
+            mag_c = mag_all[lo:hi]
+            if pad:
+                mat_c = np.concatenate([mat_c, np.repeat(mat_c[-1:], pad, 0)], 0)
+                mag_c = np.concatenate([mag_c, np.repeat(mag_c[-1:], pad, 0)], 0)
+            if progress is not None:
+                progress(ci, n_chunks)
+            t0 = time.perf_counter()
+            ll, ok = _chunk_likelihood(
+                self._shard(mat_c, dtype), self._shard(mag_c, dtype),
+                dn, obs_rep, log_scale, cfg, normalize)
+            ll = np.asarray(ll)
+            ok = np.asarray(ok)
+            self.timers.solver_time += time.perf_counter() - t0
+            P[:, lo:hi] = ll[:, :size]
+            conv[lo:hi] = ok[:size]
+            if chunk_done is not None:
+                chunk_done(ci, ll[:, :size])
+        return P, conv

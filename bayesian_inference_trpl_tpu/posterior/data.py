@@ -1,0 +1,140 @@
+"""Posterior data model: load BAYRAN results, derive secondary parameters,
+marginalize, and summarize.
+
+Headless equivalent of the reference's Tk-bound ``LikelihoodData``
+(reference: Visualization/utils.py:17-143) — the GUI is replaced by a
+plotting module and CLI that consume this API.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import physics
+from ..utils.io import load_bayran
+from . import stats
+
+# Primary parameter labels in BAYRAN column order (matches the reference's
+# PARAM_ORDER in Visualization/marginalization_visual.py).
+PRIMARY_PARAMS = [
+    "n0", "p0", "mu_n", "mu_p", "B", "Sf", "Sb", "Cn", "Cp",
+    "tau_n", "tau_p", "lambda", "m",
+]
+SECONDARY_PARAMS = [
+    "tau_eff", "tau_rad", "Sf+Sb", "mu_eff", "epsilon", "tau_n+tau_p",
+]
+
+
+@dataclass
+class PosteriorData:
+    X: Dict[str, np.ndarray] = field(default_factory=dict)
+    LL: np.ndarray = None                   # raw log-likelihoods
+    P: Optional[np.ndarray] = None          # normalized weights
+    thickness: float = 311.0
+    num_observations: int = 1
+
+    @classmethod
+    def load(cls, path: str, thickness: float = 311.0, num_observations: int = 1):
+        LL, Xmat = load_bayran(path)
+        return cls.from_arrays(LL, Xmat, thickness, num_observations)
+
+    @classmethod
+    def from_arrays(cls, LL, Xmat, thickness: float = 311.0,
+                    num_observations: int = 1):
+        self = cls(thickness=thickness, num_observations=num_observations)
+        LL = np.asarray(LL, dtype=float)
+        Xmat = np.asarray(Xmat, dtype=float)
+        keep = ~np.isnan(LL)                # NaN filter (utils.py:33-38)
+        LL, Xmat = LL[keep], Xmat[keep]
+        self.LL = LL
+        self.X = {p: Xmat[:, i] for i, p in enumerate(PRIMARY_PARAMS[:Xmat.shape[1]])}
+        return self
+
+    # -- transformations ----------------------------------------------------
+    def exclude_limits(self, limits: Dict[str, Tuple[float, float]]):
+        """Drop samples outside per-parameter limits (utils.py:48-52, 145-155)."""
+        keep = np.ones(len(self.LL), dtype=bool)
+        for p, (lo, hi) in limits.items():
+            if p in self.X:
+                keep &= (self.X[p] >= lo) & (self.X[p] <= hi)
+        self.LL = self.LL[keep]
+        self.X = {p: v[keep] for p, v in self.X.items()}
+        if self.P is not None:
+            self.P = self.P[keep]
+        return int(keep.sum())
+
+    def compute_secondary(self, which: Optional[List[str]] = None):
+        """Derived physics quantities (utils.py:54-79; secondary_parameters.py)."""
+        X = self.X
+        want = set(which) if which is not None else set(SECONDARY_PARAMS)
+        if "mu_eff" in want:
+            X["mu_eff"] = physics.mu_eff(X["mu_n"], X["mu_p"])
+        if "tau_eff" in want:
+            mu_t = physics.mu_eff(X["mu_n"], X["mu_p"])
+            X["tau_eff"] = physics.LI_tau_eff(
+                X["B"], X["p0"], X["tau_n"], X["Sf"], X["Sb"], X["Cp"],
+                self.thickness, mu_t)
+        if "tau_rad" in want:
+            X["tau_rad"] = physics.t_rad(X["B"], X["p0"])
+        if "Sf+Sb" in want:
+            X["Sf+Sb"] = physics.s_eff(X["Sf"], X["Sb"])
+        if "epsilon" in want:
+            X["epsilon"] = physics.epsilon(X["lambda"])
+        if "tau_n+tau_p" in want:
+            X["tau_n+tau_p"] = X["tau_n"] + X["tau_p"]
+        return self
+
+    def normalize(self, t_factor: Optional[float] = None):
+        """Normalize weights: P = normalize(LL / (num_observations * c))
+        (reference: marginalization_visual.py:589-591)."""
+        c = t_factor if t_factor is not None else self.num_observations / 2000.0
+        self.P = stats.normalize(self.LL / (self.num_observations * c)
+                                 if c else self.LL)
+        return self
+
+    # -- summaries ----------------------------------------------------------
+    def stats_summary(self) -> Dict[str, Tuple[float, float, float]]:
+        """(weighted mean, sample std, sum w^2) per parameter (utils.py:119-126)."""
+        assert self.P is not None, "call normalize() first"
+        ws = np.sum(self.P ** 2)
+        return {p: (stats.w_mean(v, self.P),
+                    stats.w_sample_var(v, self.P, ws), ws)
+                for p, v in self.X.items()}
+
+    def credible_intervals(self, lo=0.025, hi=0.975):
+        assert self.P is not None
+        return {p: stats.credible_interval(v, self.P, lo, hi)
+                for p, v in self.X.items()}
+
+    def max_uncertainty(self) -> Dict[str, Tuple[float, float]]:
+        """Per-parameter worst-case uncertainty over the likelihood
+        temperature (utils.py:128-133)."""
+        return {p: stats.find_best_tf(v, self.LL, self.num_observations / 2000.0)
+                for p, v in self.X.items()}
+
+    def covariance(self, params: Optional[List[str]] = None) -> np.ndarray:
+        assert self.P is not None
+        params = params or list(self.X)
+        return stats.covariance_matrix([self.X[p] for p in params], self.P)
+
+    def marginal_1d(self, param: str, bounds=None, bins: int = 96,
+                    log: bool = False):
+        assert self.P is not None
+        v = np.log10(self.X[param]) if log else self.X[param]
+        if bounds is None:
+            bounds = (np.min(v), np.max(v))
+        corr = param in SECONDARY_PARAMS or "mu" in param
+        return stats.marginalize_1d(self.P, bounds, bins, v, density_correct=corr)
+
+    def marginal_2d(self, px: str, py: str, bounds_x=None, bounds_y=None,
+                    bins: int = 96, log_x: bool = False, log_y: bool = False):
+        assert self.P is not None
+        vx = np.log10(self.X[px]) if log_x else self.X[px]
+        vy = np.log10(self.X[py]) if log_y else self.X[py]
+        if bounds_x is None:
+            bounds_x = (np.min(vx), np.max(vx))
+        if bounds_y is None:
+            bounds_y = (np.min(vy), np.max(vy))
+        return stats.marginalize_2d(self.P, bounds_x, bounds_y, bins, vx, vy)

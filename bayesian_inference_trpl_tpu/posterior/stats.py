@@ -1,0 +1,115 @@
+"""Weighted posterior statistics.
+
+Headless port of the reference's post-processing math
+(reference: Visualization/utils.py:157-284): underflow-safe normalization
+of log-likelihoods, weighted moments, covariance, credible intervals,
+marginal histograms with nonuniform-sampling correction, and the
+max-uncertainty temperature-factor search.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.optimize import fmin
+
+
+def normalize(lnP):
+    """exp-normalize log-likelihoods without mass underflow
+    (reference: Visualization/utils.py:157-166): shift so the max is at a
+    large-but-safe exponent, then normalize by the sum."""
+    lnP = np.asarray(lnP, dtype=float)
+    out = np.exp(lnP - np.nanmax(lnP) + 1000 * np.log(2) - np.log(lnP.size))
+    return out / np.nansum(out)
+
+
+def w_mean(val, wts):
+    return np.average(val, weights=wts)
+
+
+def w_variance(val, wts):
+    return np.average((val - w_mean(val, wts)) ** 2, weights=wts)
+
+
+def w_skew(val, wts):
+    return np.average((val - w_mean(val, wts)) ** 3, weights=wts) / w_variance(val, wts) ** 1.5
+
+
+def w_kurtosis(val, wts):
+    return np.average((val - w_mean(val, wts)) ** 4, weights=wts) / w_variance(val, wts) ** 2
+
+
+def w_sample_var(val, wts, ws):
+    """sqrt(sum(w^2) * weighted variance) (reference: utils.py:168-170)."""
+    return np.sqrt(ws * w_variance(val, wts))
+
+
+def covariance(X, Y, weights):
+    ax = np.average(X, weights=weights)
+    ay = np.average(Y, weights=weights)
+    return np.average((X - ax) * (Y - ay), weights=weights)
+
+
+def covariance_matrix(columns, weights):
+    """Symmetric covariance over a dict/list of parameter columns."""
+    cols = list(columns)
+    n = len(cols)
+    cov = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i, n):
+            cov[i, j] = cov[j, i] = covariance(cols[i], cols[j], weights)
+    return cov
+
+
+def credible_interval(X, P, lo: float = 0.025, hi: float = 0.975):
+    """Equal-tail credible interval from normalized weights
+    (reference: utils.py:185-197)."""
+    order = np.argsort(X)
+    X_s, P_s = X[order], P[order]
+    s = np.cumsum(P_s)
+    below = np.where(s < lo)[0]
+    above = np.where(s > hi)[0]
+    i_lo = below[-1] if len(below) else 0
+    i_hi = above[0] if len(above) else len(X_s) - 1
+    return X_s[i_lo], X_s[i_hi]
+
+
+def _tf_driver(tf, xi, P):
+    Pt = normalize(P / np.exp(tf))
+    ws = np.sum(Pt ** 2)
+    return -w_sample_var(xi, Pt, ws)
+
+
+def find_best_tf(xi, P, u0):
+    """Max-uncertainty search over the likelihood temperature factor
+    (reference: utils.py:172-183)."""
+    opt = fmin(_tf_driver, np.log(u0), args=(xi, P), full_output=True, disp=False)
+    return np.exp(opt[0][0]), -opt[1]
+
+
+def marginalize_1d(P, bounds, bin_count, X, density_correct: bool = False):
+    """Weighted 1-D histogram marginal (reference: utils.py:239-262).
+
+    density_correct divides by the raw sampling histogram to undo a
+    nonuniform sampling density (used for secondary/derived parameters).
+    """
+    lo, hi = bounds
+    bins = lo + (hi - lo) * np.arange(bin_count + 1) / bin_count
+    marP, bins = np.histogram(X, weights=P, bins=bins, density=True)
+    if density_correct:
+        marH, _ = np.histogram(X, bins=bins)
+        corr = np.zeros_like(marP)
+        nz = marH != 0
+        corr[nz] = marP[nz] / marH[nz]
+        area = np.sum(np.diff(bins) * corr)
+        if area != 0:
+            corr = corr / area
+        marP = corr
+    return marP, bins
+
+
+def marginalize_2d(P, bounds_x, bounds_y, bin_count, X, Y):
+    """Weighted 2-D histogram marginal (reference: utils.py:264-284)."""
+    bx = bounds_x[0] + (bounds_x[1] - bounds_x[0]) * np.arange(bin_count + 1) / bin_count
+    by = bounds_y[0] + (bounds_y[1] - bounds_y[0]) * np.arange(bin_count + 1) / bin_count
+    h, _, _ = np.histogram2d(X, Y, bins=[bx, by], weights=P, density=True)
+    Yg, Xg = np.meshgrid(bx, by)
+    return h, Xg, Yg

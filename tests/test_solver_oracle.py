@@ -1,0 +1,91 @@
+"""Parity gate: the TPU solver vs the independent dimensional scipy oracle.
+
+This is the automated version of the reference's Testing/ pipeline
+(pvSetup -> PV_tester2 -> compare; see SURVEY.md section 4): identical
+physics integrated by an unrelated discretization must agree on PL and the
+final carrier profiles to discretization accuracy.
+"""
+import numpy as np
+import pytest
+
+from bayesian_inference_trpl_tpu import physics
+from bayesian_inference_trpl_tpu.models import SimParams, pvsim, redim_state
+from bayesian_inference_trpl_tpu.models.oracle import solve_oracle
+
+from conftest import sample_mat_par
+
+
+@pytest.fixture(scope="module")
+def parity_run():
+    rng = np.random.default_rng(3)
+    batch = 2
+    # Production-like box (parallel_bayes_gpu.py:91-92), lambda pinned at 0.1.
+    minx = np.array([1e8, 1e14, 5.0, 5.0, 1e-11, 0.1, 0.1, 1e-30, 1e-30, 100.0, 100.0, 0.1])
+    maxx = np.array([1e8, 1e16, 50.0, 50.0, 1e-9, 100.0, 100.0, 1e-28, 1e-28, 1000.0, 2000.0, 0.1])
+    do_log = np.array([0, 1, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0], dtype=bool)
+    u = rng.uniform(size=(batch, 12))
+    lo = np.log10(np.where(minx > 0, minx, 1))
+    hi = np.log10(np.where(maxx > 0, maxx, 1))
+    x = np.where(do_log, 10 ** (lo + u * (hi - lo)), minx + u * (maxx - minx))
+    mat = x * physics.UNIT_CONVERSIONS[:12]
+
+    # Production dt (2000ns / 80000) on a short 2ns window.
+    sim = SimParams(length=311.0, time=2.0, L=128, T=80, pl_stride=1,
+                    tol_exp=7, max_iters=3000)
+    a = 1e18 / 1e7 ** 3
+    xg = (np.arange(sim.L) + 0.5) * sim.dx
+    init_dn = a * np.exp(-xg / 100.0)
+    res = pvsim(mat, sim, init_dn, init_mode="points")
+    return mat, sim, init_dn, res
+
+
+def test_converges(parity_run):
+    _, _, _, res = parity_run
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_pl_and_state_match_oracle(parity_run):
+    mat, sim, init_dn, res = parity_run
+    pl = np.asarray(res.pl)
+    n_f, p_f, _ = redim_state(res, sim)
+    for i in range(len(mat)):
+        _, N, P, _, plo = solve_oracle(mat[i], sim.length, sim.time, sim.L,
+                                       sim.num_pl, init_dn,
+                                       rtol=1e-10, atol=1e-16, max_step=0.1)
+        rel_pl = np.linalg.norm(pl[i] - plo) / np.linalg.norm(plo)
+        rel_n = np.linalg.norm(np.asarray(n_f[i]) - N[:, -1]) / np.linalg.norm(N[:, -1])
+        rel_p = np.linalg.norm(np.asarray(p_f[i]) - P[:, -1]) / np.linalg.norm(P[:, -1])
+        # dt-discretization level at dt=0.025 on the stiff early transient.
+        assert rel_pl < 5e-3, f"sample {i}: PL rel {rel_pl}"
+        assert rel_n < 1e-3, f"sample {i}: N rel {rel_n}"
+        assert rel_p < 1e-3, f"sample {i}: P rel {rel_p}"
+
+
+def test_pl_t0_exact(parity_run):
+    """PL at t=0 is algebraic in the initial condition: must match the
+    oracle to rounding."""
+    mat, sim, init_dn, res = parity_run
+    pl = np.asarray(res.pl)
+    for i in range(len(mat)):
+        n0, p0, B = mat[i, 0], mat[i, 1], mat[i, 4]
+        expected = B * np.sum((init_dn + n0) * (init_dn + p0) - n0 * p0) * sim.dx
+        np.testing.assert_allclose(pl[i, 0], expected, rtol=1e-12)
+
+
+def test_convergence_under_dt_refinement():
+    """Halving dt must shrink the oracle mismatch (sanity on the BDF ramp)."""
+    mat = np.array([[1e8, 1e15, 20.0, 35.0, 5e-10, 50.0, 10.0,
+                     1e-29, 1e-29, 500.0, 800.0, 0.1]]) * physics.UNIT_CONVERSIONS[:12]
+    a = 1e18 / 1e7 ** 3
+    errs = []
+    for T in (40, 80):
+        sim = SimParams(length=311.0, time=1.0, L=128, T=T, pl_stride=T // 40,
+                        tol_exp=8, max_iters=3000)
+        xg = (np.arange(sim.L) + 0.5) * sim.dx
+        init_dn = a * np.exp(-xg / 100.0)
+        res = pvsim(mat, sim, init_dn, init_mode="points")
+        _, _, _, _, plo = solve_oracle(mat[0], sim.length, sim.time, sim.L, 41,
+                                       init_dn, rtol=1e-10, atol=1e-16, max_step=0.05)
+        pl = np.asarray(res.pl)[0]
+        errs.append(np.linalg.norm(pl - plo) / np.linalg.norm(plo))
+    assert errs[1] < errs[0]
