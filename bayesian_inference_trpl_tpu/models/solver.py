@@ -37,7 +37,8 @@ class SolverConfig(NamedTuple):
     record_state_stride: Optional[int] = None  # emit (N, P, E) snapshots
 
 
-class FusedObs(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class FusedObs:
     """Observations for in-scan likelihood accumulation.
 
     ``values``: (num_exp, T // pl_stride + 1) log10 PL observations on the
@@ -45,11 +46,23 @@ class FusedObs(NamedTuple):
     factor 1/(dx^2 dt); added to log10 of the nondimensional PL.
     ``min_val``: clamp floor applied to PL before log10
     (reference: probs.py:64-76 via bayeslib.py:157).
+
+    Registered as a pytree with (min_val, normalize) as static aux data so
+    jitted callers can branch on ``normalize`` at trace time.
     """
-    values: jax.Array
-    log_scale: jax.Array
-    min_val: float
-    normalize: bool = False        # self_normalize: divide PL by its t=0 value
+
+    def __init__(self, values, log_scale, min_val: float, normalize: bool = False):
+        self.values = values
+        self.log_scale = log_scale
+        self.min_val = float(min_val)
+        self.normalize = bool(normalize)
+
+    def tree_flatten(self):
+        return (self.values, self.log_scale), (self.min_val, self.normalize)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
 
 
 class SolveResult(NamedTuple):

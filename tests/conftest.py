@@ -1,14 +1,20 @@
 """Test configuration: CPU backend with 8 virtual devices (multi-chip
-sharding tests) and float64 enabled (parity vs the scipy oracle)."""
+sharding tests) and float64 enabled (parity vs the scipy oracle).
+
+NOTE: the session's sitecustomize imports jax and pins the TPU platform
+before conftest runs, so env vars alone don't switch backends — the
+``jax.config.update`` calls below are the authoritative override.
+"""
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env pins the TPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
