@@ -77,7 +77,7 @@ class ShardedRunner:
                   normalize: bool = False, dtype=None,
                   progress: Optional[Callable[[int, int], None]] = None,
                   chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
-                  start_chunk: int = 0):
+                  start_chunk: int = 0, out: Optional[np.ndarray] = None):
         """Evaluate log-likelihood of every sample in X for one excitation
         curve against observations on the simulation PL time grid.
 
@@ -85,8 +85,12 @@ class ShardedRunner:
           X: (n, 13) sample matrix in (V, nm, ns) units (mag_offset last).
           obs_log_values: (num_exp, sim.num_pl) log10 observed PL.
           chunk_done: callback(chunk_index, P_chunk) for checkpointing.
+          start_chunk: resume point; earlier chunks are left untouched in
+            ``out`` (their contributions come from the checkpoint).
+          out: optional (num_exp, n) accumulator to ADD likelihoods into
+            (NaN marks non-converged samples and propagates).
 
-        Returns (P (num_exp, n), converged (n,)).
+        Returns (out (num_exp, n), converged (n,)).
         """
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -100,8 +104,9 @@ class ShardedRunner:
         log_scale = jnp.asarray(pl_log_scale(sim), dtype)
         cfg = sim.solver_config()
 
-        P = np.full((num_exp, n), np.nan)
-        conv = np.zeros(n, dtype=bool)
+        if out is None:
+            out = np.zeros((num_exp, n))
+        conv = np.ones(n, dtype=bool)
         n_chunks = -(-n // self.chunk)
         for ci in range(start_chunk, n_chunks):
             lo = ci * self.chunk
@@ -122,8 +127,8 @@ class ShardedRunner:
             ll = np.asarray(ll)
             ok = np.asarray(ok)
             self.timers.solver_time += time.perf_counter() - t0
-            P[:, lo:hi] = ll[:, :size]
+            out[:, lo:hi] += ll[:, :size]
             conv[lo:hi] = ok[:size]
             if chunk_done is not None:
                 chunk_done(ci, ll[:, :size])
-        return P, conv
+        return out, conv

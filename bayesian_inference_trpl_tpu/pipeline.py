@@ -40,7 +40,8 @@ def almost_equal(x, x0, threshold: float = 1e-10) -> bool:
     x, x0 = np.asarray(x), np.asarray(x0)
     if x.shape != x0.shape:
         return False
-    return np.abs(np.nanmax((x - x0) / x0)) < threshold
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return bool(np.abs(np.nanmax((x - x0) / x0)) < threshold)
 
 
 def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> SimParams:
@@ -97,13 +98,12 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
             if logger:
                 logger.info("Observation times on simulation grid: fused likelihood")
             obs_vals = np.stack([np.asarray(e_data[e][1][ic_num]) for e in range(num_exp)])
-            ll, conv = runner.run_curve(
+            _, conv = runner.run_curve(
                 X, sim, init_params[ic_num], obs_vals,
                 normalize=cfg.sim_flags.self_normalize, dtype=dtype,
                 progress=(lambda ci, nc: logger.info(
                     "Curve #%d: chunk %d of %d", ic_num, ci, nc)) if logger else None,
-                chunk_done=_ckpt_chunk, start_chunk=first_chunk)
-            P += ll
+                chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P)
         else:
             if logger:
                 logger.info("Observation times off-grid: interpolating likelihood")
