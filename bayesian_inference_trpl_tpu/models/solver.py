@@ -25,6 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .newton import coupled_newton_step
 from .trpl import BDF_TABLE, HISTORY, MatParams, implicit_step
 
 
@@ -35,6 +36,10 @@ class SolverConfig(NamedTuple):
     tol: float = 1e-7              # Newton convergence tolerance (10^-tol_exp)
     max_iters: int = 10000         # Newton iteration cap per step
     record_state_stride: Optional[int] = None  # emit (N, P, E) snapshots
+    record_iters: bool = False     # emit per-outer-step Newton iteration counts
+    predictor: str = "previous"    # "previous" (reference) | "linear" extrapolation
+    method: str = "gauss_seidel"   # "gauss_seidel" (reference scheme) |
+    #                                "coupled_newton" (exact Jacobian, E eliminated)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -75,6 +80,7 @@ class SolveResult(NamedTuple):
     sse: Optional[jax.Array]       # (num_exp, batch) running sum of e^2
     err_sum: Optional[jax.Array]   # (num_exp, batch) running sum of e
     states: Optional[tuple] = None  # optional (N, P, E) snapshot stacks
+    iters: Optional[jax.Array] = None  # (n_outer,) Newton iterations per step
 
 
 def pl_observable(N, P, mp: MatParams):
@@ -140,7 +146,17 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)
         Pk = jax.lax.dynamic_index_in_dim(ph, k, keepdims=False)
         Ek = jax.lax.dynamic_index_in_dim(eh, k, keepdims=False)
-        Nn, Pn, En, iters, ok = implicit_step(
+        if cfg.predictor == "linear":
+            # Extrapolated initial iterate: same fixed point (convergence is
+            # still measured against the assembled BDF system), fewer
+            # iterations than the reference's previous-state predictor.
+            ko = jnp.mod(t - 1, HISTORY)
+            ramp = jnp.minimum(t, 1).astype(nh.dtype)  # t=0 has no history
+            Nk = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
+            Pk = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
+            Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
+        step_impl = implicit_step if cfg.method == "gauss_seidel" else coupled_newton_step
+        Nn, Pn, En, iters, ok = step_impl(
             Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
         nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
         ph = jax.lax.dynamic_update_index_in_dim(ph, Pn, kp, 0)
@@ -153,14 +169,16 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         if stride == 1:
             nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh)
             conv = conv & ok
+            outer_iters = iters
             max_it = jnp.maximum(max_it, iters)
         else:
             def inner(i, acc):
-                nh, ph, eh, conv, max_it = acc
+                nh, ph, eh, conv, lmax = acc
                 nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh)
-                return nh, ph, eh, conv & ok, jnp.maximum(max_it, iters)
-            nh, ph, eh, conv, max_it = jax.lax.fori_loop(
-                0, stride, inner, (nh, ph, eh, conv, max_it))
+                return nh, ph, eh, conv & ok, jnp.maximum(lmax, iters)
+            nh, ph, eh, conv, outer_iters = jax.lax.fori_loop(
+                0, stride, inner, (nh, ph, eh, conv, jnp.int32(0)))
+            max_it = jnp.maximum(max_it, outer_iters)
             kp = jnp.mod(t0 + stride, HISTORY)
             state = tuple(jax.lax.dynamic_index_in_dim(h, kp, keepdims=False)
                           for h in (nh, ph, eh))
@@ -177,6 +195,8 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         if cfg.record_state_stride is not None:
             rec = jnp.mod((j + 1) * stride, cfg.record_state_stride) == 0
             ys.append(tuple(jnp.where(rec, s, jnp.nan) for s in state))
+        if cfg.record_iters:
+            ys.append(outer_iters)
         return (nh, ph, eh, conv, max_it, sse, esum), tuple(ys)
 
     conv0 = jnp.ones((batch,), dtype=bool)
@@ -189,7 +209,11 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     if record_pl:
         pl_trace = jnp.concatenate([pl0[None], ys[yi]], axis=0).T  # (batch, n_outer+1)
         yi += 1
-    states = ys[yi] if cfg.record_state_stride is not None else None
+    states = None
+    if cfg.record_state_stride is not None:
+        states = ys[yi]
+        yi += 1
+    iters_trace = ys[yi] if cfg.record_iters else None
 
     k_final = jnp.mod(T, HISTORY)
     n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
@@ -200,4 +224,5 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         sse=sse if obs is not None else None,
         err_sum=esum if obs is not None else None,
         states=states,
+        iters=iters_trace,
     )
