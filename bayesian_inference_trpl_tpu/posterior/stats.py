@@ -85,17 +85,36 @@ def find_best_tf(xi, P, u0):
     return np.exp(opt[0][0]), -opt[1]
 
 
+def _native():
+    try:
+        from .. import native
+        return native if native.load() is not None else None
+    except Exception:  # pragma: no cover
+        return None
+
+
 def marginalize_1d(P, bounds, bin_count, X, density_correct: bool = False):
     """Weighted 1-D histogram marginal (reference: utils.py:239-262).
 
     density_correct divides by the raw sampling histogram to undo a
     nonuniform sampling density (used for secondary/derived parameters).
+    Uses the OpenMP native histogram when available (numpy-identical).
     """
     lo, hi = bounds
     bins = lo + (hi - lo) * np.arange(bin_count + 1) / bin_count
-    marP, bins = np.histogram(X, weights=P, bins=bins, density=True)
+    nat = _native()
+    if nat is not None and hi > lo:
+        w_sum, counts = nat.hist1d_weighted(X, P, lo, hi, bin_count)
+        width = (hi - lo) / bin_count
+        total = w_sum.sum()
+        marP = w_sum / (total * width) if total != 0 else w_sum
+        marH = counts
+    else:
+        marP, bins = np.histogram(X, weights=P, bins=bins, density=True)
+        marH = None
     if density_correct:
-        marH, _ = np.histogram(X, bins=bins)
+        if marH is None:
+            marH, _ = np.histogram(X, bins=bins)
         corr = np.zeros_like(marP)
         nz = marH != 0
         corr[nz] = marP[nz] / marH[nz]
@@ -110,6 +129,18 @@ def marginalize_2d(P, bounds_x, bounds_y, bin_count, X, Y):
     """Weighted 2-D histogram marginal (reference: utils.py:264-284)."""
     bx = bounds_x[0] + (bounds_x[1] - bounds_x[0]) * np.arange(bin_count + 1) / bin_count
     by = bounds_y[0] + (bounds_y[1] - bounds_y[0]) * np.arange(bin_count + 1) / bin_count
-    h, _, _ = np.histogram2d(X, Y, bins=[bx, by], weights=P, density=True)
+    nat = _native()
+    if (nat is not None and bounds_x[1] > bounds_x[0]
+            and bounds_y[1] > bounds_y[0]):
+        h = nat.hist2d_weighted(X, Y, P, bounds_x[0], bounds_x[1], bin_count,
+                                bounds_y[0], bounds_y[1], bin_count)
+        # numpy density normalization: w / (total_w * dx * dy)
+        total = h.sum()
+        if total != 0:
+            dx = (bounds_x[1] - bounds_x[0]) / bin_count
+            dy = (bounds_y[1] - bounds_y[0]) / bin_count
+            h = h / (total * dx * dy)
+    else:
+        h, _, _ = np.histogram2d(X, Y, bins=[bx, by], weights=P, density=True)
     Yg, Xg = np.meshgrid(bx, by)
     return h, Xg, Yg

@@ -46,9 +46,15 @@ def _finish_curve(next_t, next_pl, next_unc, scale_f, noise_level, normalize,
 
 
 def get_data(exp_files: Sequence[str], ic_flags: dict, sim_flags: dict,
-             logger=None, scale_f: float = 1e-23, rng=None):
+             logger=None, scale_f: float = 1e-23, rng=None,
+             use_native: bool = True):
     """Load observation files.  Returns, per file, a tuple
-    (times, values, uncertainties) of per-curve arrays."""
+    (times, values, uncertainties) of per-curve arrays.
+
+    ``use_native`` routes the byte-level CSV scan through the C++ parser
+    (native/src/trpl_native.cpp) when available; curve splitting and all
+    preprocessing semantics are identical either way.
+    """
     early_cut = ic_flags.get("time_cutoff")
     select = ic_flags.get("select_obs_sets")
     noise_level = ic_flags.get("noise_level")
@@ -57,8 +63,27 @@ def get_data(exp_files: Sequence[str], ic_flags: dict, sim_flags: dict,
     if rng is None:
         rng = np.random.default_rng()
 
+    if use_native:
+        try:
+            from ..native import parse_obs_csv
+        except Exception:  # pragma: no cover
+            parse_obs_csv = None
+    else:
+        parse_obs_csv = None
+
     all_data = []
     for exp_file in exp_files:
+        if parse_obs_csv is not None:
+            parsed = None
+            try:
+                parsed = parse_obs_csv(exp_file)
+            except ValueError:
+                parsed = None
+            if parsed is not None:
+                all_data.append(_package_curves(*parsed, early_cut, select,
+                                                noise_level, normalize, log_pl,
+                                                scale_f, rng, logger))
+                continue
         t, pl, unc = [], [], []
         next_t, next_pl, next_unc = [], [], []
         with open(exp_file, newline="") as f:
@@ -97,6 +122,34 @@ def get_data(exp_files: Sequence[str], ic_flags: dict, sim_flags: dict,
             unc = [unc[i] for i in idx]
         all_data.append((t, pl, unc))
     return all_data
+
+
+def _package_curves(t_all, pl_all, unc_all, early_cut, select, noise_level,
+                    normalize, log_pl, scale_f, rng, logger):
+    """Split flat parsed rows into curves at t == 0 and apply the same
+    preprocessing as the row-by-row path (bayes_io.py:42-98 semantics)."""
+    if early_cut is not None:
+        keep = t_all <= early_cut
+        t_all, pl_all, unc_all = t_all[keep], pl_all[keep], unc_all[keep]
+    starts = list(np.flatnonzero(t_all == 0.0))
+    if not starts or starts[0] != 0:
+        starts = [0] + starts
+    starts.append(len(t_all))
+    t, pl, unc = [], [], []
+    for a, b in zip(starts[:-1], starts[1:]):
+        if b <= a:
+            continue
+        curve = _finish_curve(t_all[a:b], pl_all[a:b], unc_all[a:b], scale_f,
+                              noise_level, normalize, log_pl, rng, logger)
+        t.append(curve[0])
+        pl.append(curve[1])
+        unc.append(curve[2])
+    if select is not None:
+        idx = list(select)
+        t = [t[i] for i in idx]
+        pl = [pl[i] for i in idx]
+        unc = [unc[i] for i in idx]
+    return t, pl, unc
 
 
 def get_initpoints(init_file: str, ic_flags: dict, scale_f: float = 1e-21):
