@@ -33,6 +33,12 @@ class GridConfig:
     pl_stride: int = 1                             # plT
     tol_exp: float = 7.0
     max_iters: int = 10000
+    method: str = "coupled_newton"      # or "gauss_seidel" (reference scheme)
+    # Two-phase fast solver (models/twophase.py): fine steps through the
+    # transient, then coarse steps with dense log-PL output.  None = single
+    # phase (reference-equivalent stepping).
+    fast_fine_steps: Optional[int] = None
+    fast_coarse_stride: int = 8
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
         if isinstance(self.thickness, (list, tuple)):

@@ -31,6 +31,9 @@ class SimParams:
     pl_stride: int = 1     # plT: PL recording interval
     tol_exp: float = 7.0   # convergence tolerance exponent (TOL = 10^-tol_exp)
     max_iters: int = 10000
+    method: str = "coupled_newton"
+    fast_fine_steps: Optional[int] = None   # two-phase solver switch point
+    fast_coarse_stride: int = 8
 
     @property
     def dx(self) -> float:
@@ -52,7 +55,14 @@ class SimParams:
         return SolverConfig(
             num_steps=self.T, pl_stride=self.pl_stride,
             tol=10.0 ** (-self.tol_exp), max_iters=self.max_iters,
-            record_state_stride=record_state_stride)
+            record_state_stride=record_state_stride, method=self.method)
+
+    @property
+    def fast_phases(self):
+        """(fine_steps, coarse_stride) for the two-phase solver, or None."""
+        if self.fast_fine_steps is None:
+            return None
+        return (int(self.fast_fine_steps), int(self.fast_coarse_stride))
 
 
 def initial_excess_density(sim: SimParams, ini_par, init_mode: str,

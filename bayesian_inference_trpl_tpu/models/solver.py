@@ -104,6 +104,44 @@ def _log_pl(pl, obs: FusedObs, pl0):
     return out if obs.normalize else out + obs.log_scale
 
 
+def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
+    """One BDF step on the rolling histories; shared by the single-phase
+    solver below and the two-phase fast solver (models/twophase.py)."""
+    a0, w = _bdf_coeffs(t, dtype)
+    bn = jnp.tensordot(w, nh, axes=1)
+    bp = jnp.tensordot(w, ph, axes=1)
+    be = jnp.tensordot(w, eh, axes=1)
+    k = jnp.mod(t, HISTORY)
+    kp = jnp.mod(t + 1, HISTORY)
+    Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)
+    Pk = jax.lax.dynamic_index_in_dim(ph, k, keepdims=False)
+    Ek = jax.lax.dynamic_index_in_dim(eh, k, keepdims=False)
+    if cfg.predictor == "linear":
+        # Extrapolated initial iterate: same fixed point (convergence is
+        # still measured against the assembled BDF system), fewer
+        # iterations than the reference's previous-state predictor.
+        ko = jnp.mod(t - 1, HISTORY)
+        ramp = jnp.minimum(t, 1).astype(nh.dtype)  # t=0 has no history
+        Nk = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
+        Pk = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
+        Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
+    step_impl = implicit_step if cfg.method == "gauss_seidel" else coupled_newton_step
+    Nn, Pn, En, iters, ok = step_impl(
+        Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
+    nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
+    ph = jax.lax.dynamic_update_index_in_dim(ph, Pn, kp, 0)
+    eh = jax.lax.dynamic_update_index_in_dim(eh, En, kp, 0)
+    return nh, ph, eh, (Nn, Pn, En), iters, ok
+
+
+def init_history(n_init, p_init, e_init, dtype):
+    batch, L = n_init.shape
+    nh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(n_init.astype(dtype))
+    ph = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(p_init.astype(dtype))
+    eh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(e_init.astype(dtype))
+    return nh, ph, eh
+
+
 def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
           obs: Optional[FusedObs] = None, record_pl: bool = True) -> SolveResult:
     """Evolve a batch of TRPL simulations for cfg.num_steps BDF steps.
@@ -124,9 +162,7 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     n_outer = T // stride
     tol = jnp.asarray(cfg.tol, dtype)
 
-    nh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(n_init.astype(dtype))
-    ph = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(p_init.astype(dtype))
-    eh = jnp.zeros((HISTORY, batch, L), dtype).at[0].set(e_init.astype(dtype))
+    nh, ph, eh = init_history(n_init, p_init, e_init, dtype)
 
     pl0 = pl_observable(n_init.astype(dtype), p_init.astype(dtype), mp)
 
@@ -136,45 +172,18 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     else:
         sse0 = esum0 = jnp.zeros((1, batch), dtype)
 
-    def bdf_step(t, nh, ph, eh):
-        a0, w = _bdf_coeffs(t, dtype)
-        bn = jnp.tensordot(w, nh, axes=1)
-        bp = jnp.tensordot(w, ph, axes=1)
-        be = jnp.tensordot(w, eh, axes=1)
-        k = jnp.mod(t, HISTORY)
-        kp = jnp.mod(t + 1, HISTORY)
-        Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)
-        Pk = jax.lax.dynamic_index_in_dim(ph, k, keepdims=False)
-        Ek = jax.lax.dynamic_index_in_dim(eh, k, keepdims=False)
-        if cfg.predictor == "linear":
-            # Extrapolated initial iterate: same fixed point (convergence is
-            # still measured against the assembled BDF system), fewer
-            # iterations than the reference's previous-state predictor.
-            ko = jnp.mod(t - 1, HISTORY)
-            ramp = jnp.minimum(t, 1).astype(nh.dtype)  # t=0 has no history
-            Nk = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
-            Pk = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
-            Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
-        step_impl = implicit_step if cfg.method == "gauss_seidel" else coupled_newton_step
-        Nn, Pn, En, iters, ok = step_impl(
-            Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
-        nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
-        ph = jax.lax.dynamic_update_index_in_dim(ph, Pn, kp, 0)
-        eh = jax.lax.dynamic_update_index_in_dim(eh, En, kp, 0)
-        return nh, ph, eh, (Nn, Pn, En), iters, ok
-
     def outer_step(carry, j):
         nh, ph, eh, conv, max_it, sse, esum = carry
         t0 = j * stride
         if stride == 1:
-            nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh)
+            nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh, mp, cfg, tol, dtype)
             conv = conv & ok
             outer_iters = iters
             max_it = jnp.maximum(max_it, iters)
         else:
             def inner(i, acc):
                 nh, ph, eh, conv, lmax = acc
-                nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh)
+                nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh, mp, cfg, tol, dtype)
                 return nh, ph, eh, conv & ok, jnp.maximum(lmax, iters)
             nh, ph, eh, conv, outer_iters = jax.lax.fori_loop(
                 0, stride, inner, (nh, ph, eh, conv, jnp.int32(0)))

@@ -1,0 +1,141 @@
+"""Two-phase fast solver: fine BDF steps through the stiff excitation
+transient, then coarse BDF steps with high-order dense output of log-PL at
+every fine observation time.
+
+The reference integrates the full 2000 ns horizon at dt = 25 ps (80,000
+steps; parallel_bayes_gpu.py:74-75) because its CUDA kernel has a fixed
+step and emits PL every step.  Physically, the PL transient is stiff only
+for the first few ns after excitation; beyond that the solution decays on
+~ns-to-us scales and dt = 25 ps oversamples it by orders of magnitude.
+
+Here: phase 1 runs `fine_steps` steps at dt; phase 2 restarts BDF (order
+ramp) at step size S*dt and reconstructs log10-PL at the S-1 skipped fine
+times per coarse interval by cubic Lagrange interpolation *in log space*
+(PL decays ~exponentially, so log-PL is nearly linear and the cubic error
+is far below the float32 floor — gated against the oracle in
+tests/test_twophase.py).  The fused likelihood consumes every one of the
+T+1 fine observation points, exactly like the single-phase solver, so the
+work product is identical within solver accuracy.
+
+State carries over unchanged between phases: the nondimensional N', P'
+(carriers/cell) and E' (q E dx / kB T) do not depend on dt; only the rate
+columns of the parameter matrix rescale (physics.rescale_dt).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solver import (FusedObs, HISTORY, SolveResult, SolverConfig, _log_pl,
+                     bdf_step, init_history, pl_observable, solve)
+from .trpl import MatParams
+
+# Columns of the nondimensionalized parameter matrix that scale with dt
+# (see physics.nondim_scales): diffusivities, B, surface S, Auger ~ dt;
+# lifetimes ~ 1/dt.
+_DT_SCALING = np.array([0, 0, 1, 1, 1, 1, 1, 1, 1, -1, -1, 0])
+
+
+def rescale_dt(mat_nd, factor: float):
+    """Rescale nondimensional parameters from step dt to step factor*dt."""
+    scale = jnp.asarray(float(factor) ** _DT_SCALING, mat_nd.dtype)
+    return mat_nd * scale[None, :]
+
+
+def _lagrange_weight_table(S: int) -> np.ndarray:
+    """(3, S, 4) interpolation weights for the S fine offsets of one coarse
+    interval, over the trailing window of coarse log-PL nodes.
+
+    Row r = min(c, 2) selects the order used at coarse step c:
+      r=0: linear on nodes {c, c+1}            (window cols 2, 3)
+      r=1: quadratic on nodes {c-1, c, c+1}    (window cols 1, 2, 3)
+      r=2: cubic on nodes {c-2 .. c+1}         (window cols 0..3)
+    Offsets j=1..S evaluate at the fine times inside (c, c+1]; j=S lands on
+    the node and every row reduces to the exact value.
+    """
+    tab = np.zeros((3, S, 4))
+    for r, nodes in enumerate(([2.0, 3.0], [1.0, 2.0, 3.0], [0.0, 1.0, 2.0, 3.0])):
+        cols = list(range(4 - len(nodes), 4))
+        for j in range(1, S + 1):
+            x = 2.0 + j / S
+            for a, xa in enumerate(nodes):
+                w = 1.0
+                for b, xb in enumerate(nodes):
+                    if a != b:
+                        w *= (x - xb) / (xa - xb)
+                tab[r, j - 1, cols[a]] = w
+    return tab
+
+
+def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
+                    obs: FusedObs, fine_steps: int, coarse_stride: int) -> SolveResult:
+    """Fused-likelihood solve of cfg.num_steps fine-dt steps via
+    fine/coarse phases.  Requires fused observations (record_pl analog is
+    the single-phase solver)."""
+    T = cfg.num_steps
+    T1, S = int(fine_steps), int(coarse_stride)
+    if cfg.pl_stride != 1:
+        raise ValueError("two-phase solver requires pl_stride == 1")
+    if (T - T1) % S:
+        raise ValueError(f"(T - fine_steps) = {T - T1} not divisible by S={S}")
+    C = (T - T1) // S
+    dtype = n_init.dtype
+    mp_fine = MatParams.from_array(mat_nd).astype(dtype)
+
+    # ---- Phase 1: fine steps, standard fused solve over obs[:, :T1+1].
+    obs1 = FusedObs(values=obs.values[:, :T1 + 1], log_scale=obs.log_scale,
+                    min_val=obs.min_val, normalize=obs.normalize)
+    cfg1 = cfg._replace(num_steps=T1, record_state_stride=None,
+                        record_iters=False)
+    r1 = solve(mat_nd, n_init, p_init, e_init, cfg1, obs=obs1, record_pl=False)
+
+    pl0 = pl_observable(n_init.astype(dtype), p_init.astype(dtype), mp_fine)
+
+    # ---- Phase 2: coarse steps.
+    mat_c = rescale_dt(mat_nd, S)
+    mp = MatParams.from_array(mat_c).astype(dtype)
+    # Nondimensional PL scales with dt: adjust the log offset (and pl0 for
+    # self-normalization) to coarse units.
+    obs2 = FusedObs(values=obs.values, log_scale=obs.log_scale - np.log10(S),
+                    min_val=obs.min_val, normalize=obs.normalize)
+    pl0_c = pl0 * S
+    tol = jnp.asarray(cfg.tol, dtype)
+
+    nh, ph, eh = init_history(r1.n, r1.p, r1.e, dtype)
+    lp_start = _log_pl(pl_observable(r1.n, r1.p, mp), obs2, pl0_c)
+    batch = n_init.shape[0]
+    lp_win0 = jnp.zeros((4, batch), dtype).at[3].set(lp_start)
+
+    wtab = jnp.asarray(_lagrange_weight_table(S), dtype)
+    # Observation slices for phase 2: (C, num_exp, S).
+    obs_p2 = obs.values[:, T1 + 1:].reshape(obs.values.shape[0], C, S)
+    obs_p2 = jnp.moveaxis(obs_p2, 1, 0)
+
+    def step(carry, xs):
+        nh, ph, eh, lp_win, conv, max_it, sse, esum = carry
+        c, obs_slice = xs
+        nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol, dtype)
+        Nn, Pn, _ = state
+        lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs2, pl0_c)
+        lp_win = jnp.concatenate([lp_win[1:], lp_new[None]], axis=0)
+        W = wtab[jnp.minimum(c, 2)]                       # (S, 4)
+        lp_fine = jnp.tensordot(W, lp_win, axes=1)        # (S, batch)
+        e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
+        sse = sse + jnp.sum(e * e, axis=1)
+        esum = esum + jnp.sum(e, axis=1)
+        return (nh, ph, eh, lp_win, conv & ok, jnp.maximum(max_it, iters),
+                sse, esum), None
+
+    carry0 = (nh, ph, eh, lp_win0, r1.converged, r1.max_newton_iters,
+              r1.sse, r1.err_sum)
+    (nh, ph, eh, _, conv, max_it, sse, esum), _ = jax.lax.scan(
+        step, carry0, (jnp.arange(C), obs_p2))
+
+    k_final = jnp.mod(C, HISTORY)
+    n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
+                     for h in (nh, ph, eh))
+    return SolveResult(pl=None, n=n_f, p=p_f, e=e_f, converged=conv,
+                       max_newton_iters=max_it, sse=sse, err_sum=esum)

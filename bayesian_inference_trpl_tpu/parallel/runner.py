@@ -40,17 +40,25 @@ class RunnerTimers:
                     misc_time=self.misc_time)
 
 
-@partial(jax.jit, static_argnames=("cfg", "normalize"))
+@partial(jax.jit, static_argnames=("cfg", "normalize", "fast"))
 def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
-                      normalize: bool):
+                      normalize: bool, fast=None):
     """SPMD chunk program: solve + fused likelihood.  Returns
-    (P_chunk (num_exp, chunk), converged (chunk,))."""
+    (P_chunk (num_exp, chunk), converged (chunk,)).
+
+    ``fast``: optional (fine_steps, coarse_stride) selecting the two-phase
+    solver (models/twophase.py)."""
+    from ..models.twophase import solve_two_phase
+
     n0 = mat_nd[:, 0:1] + dn[None, :]
     p0 = mat_nd[:, 1:2] + dn[None, :]
     e0 = jnp.zeros_like(n0)
     obs = FusedObs(values=obs_values, log_scale=log_scale,
                    min_val=FLOAT_MIN, normalize=normalize)
-    res = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
+    if fast is not None:
+        res = solve_two_phase(mat_nd, n0, p0, e0, cfg, obs, fast[0], fast[1])
+    else:
+        res = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
     n_obs = obs_values.shape[-1]
     ll = log_likelihood_from_terms(res.sse, res.err_sum, n_obs, mag[None, :])
     ll = jnp.where(res.converged[None, :], ll, jnp.nan)
@@ -103,6 +111,7 @@ class ShardedRunner:
         obs_rep = self._replicate(np.asarray(obs_log_values), dtype)
         log_scale = jnp.asarray(pl_log_scale(sim), dtype)
         cfg = sim.solver_config()
+        fast = sim.fast_phases
 
         if out is None:
             out = np.zeros((num_exp, n))
@@ -123,7 +132,7 @@ class ShardedRunner:
             t0 = time.perf_counter()
             ll, ok = _chunk_likelihood(
                 self._shard(mat_c, dtype), self._shard(mag_c, dtype),
-                dn, obs_rep, log_scale, cfg, normalize)
+                dn, obs_rep, log_scale, cfg, normalize, fast)
             ll = np.asarray(ll)
             ok = np.asarray(ok)
             self.timers.solver_time += time.perf_counter() - t0

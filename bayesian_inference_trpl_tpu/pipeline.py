@@ -49,7 +49,9 @@ def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> 
     return SimParams(length=g.thickness_for_curve(ic_num, num_curves),
                      time=g.time, L=g.num_nodes, T=g.num_steps,
                      pl_stride=g.pl_stride, tol_exp=g.tol_exp,
-                     max_iters=g.max_iters)
+                     max_iters=g.max_iters, method=g.method,
+                     fast_fine_steps=g.fast_fine_steps,
+                     fast_coarse_stride=g.fast_coarse_stride)
 
 
 def _resolve_dtype(name: str):

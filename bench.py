@@ -34,6 +34,14 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     T = int(os.environ.get("BENCH_T", "80000"))
+    # Two-phase fast solver (see models/twophase.py): fine dt through the
+    # stiff transient, 8x-coarse BDF steps with dense log-PL output after.
+    # BENCH_MODE=exact forces reference-equivalent fixed-dt stepping.
+    fast_mode = os.environ.get("BENCH_MODE", "fast") != "exact"
+    fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "2048")))
+    stride = int(os.environ.get("BENCH_STRIDE", "8"))
+    while (T - fine_steps) % stride:
+        fine_steps += 1
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -61,12 +69,18 @@ def main():
     cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=6,
                        method="coupled_newton")
 
+    from bayesian_inference_trpl_tpu.models.twophase import solve_two_phase
+
     @jax.jit
     def run(mat_nd, dn):
         n0 = mat_nd[:, 0:1] + dn[None, :]
         p0 = mat_nd[:, 1:2] + dn[None, :]
-        r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
-                  record_pl=False)
+        if fast_mode:
+            r = solve_two_phase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
+                                fine_steps, stride)
+        else:
+            r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                      record_pl=False)
         return r.sse, r.err_sum, r.converged
 
     out = jax.block_until_ready(run(mat_nd, dn))  # compile + warm

@@ -1,0 +1,96 @@
+"""Two-phase fast solver: dt-rescaling exactness and likelihood agreement
+with the single-phase (reference-equivalent) solver."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bayesian_inference_trpl_tpu import physics
+from bayesian_inference_trpl_tpu.models.driver import (
+    SimParams, initial_excess_density, pl_log_scale)
+from bayesian_inference_trpl_tpu.models.solver import FusedObs, SolverConfig, solve
+from bayesian_inference_trpl_tpu.models.twophase import (
+    _lagrange_weight_table, rescale_dt, solve_two_phase)
+
+from conftest import sample_mat_par
+
+
+def test_rescale_dt_matches_nondim():
+    mat = np.array([[1e8, 1e15, 20.0, 35.0, 5e-10, 50.0, 10.0, 1e-29, 1e-29,
+                     500.0, 800.0, 0.1]]) * physics.UNIT_CONVERSIONS[:12]
+    dx, dt = 311 / 128, 0.025
+    a = physics.nondimensionalize(mat, dx, dt)
+    b = physics.nondimensionalize(mat, dx, 8 * dt)
+    c = np.asarray(rescale_dt(jnp.asarray(a), 8))
+    np.testing.assert_allclose(b, c, rtol=1e-13)
+
+
+def test_weight_table_reproduces_polynomials():
+    """Cubic row must reproduce any cubic exactly; node offset is exact in
+    every row."""
+    S = 8
+    tab = _lagrange_weight_table(S)
+    nodes = np.array([0.0, 1.0, 2.0, 3.0])
+    for coeffs in ([1, 0, 0, 0], [0, 1, 0, 0], [1, -2, 0.5, 0.1]):
+        poly = np.polynomial.polynomial.Polynomial(coeffs)
+        vals = poly(nodes)
+        for j in range(1, S + 1):
+            x = 2.0 + j / S
+            got = tab[2, j - 1] @ vals
+            np.testing.assert_allclose(got, poly(x), rtol=1e-12, atol=1e-12)
+    # linear row: exact for linear functions on nodes {2, 3}
+    for j in range(1, S + 1):
+        got = tab[0, j - 1] @ np.array([0, 0, 2.0, 3.0])
+        np.testing.assert_allclose(got, 2.0 + j / S, rtol=1e-12)
+    # node offset j = S is the identity in all rows
+    for r in range(3):
+        w = tab[r, S - 1]
+        np.testing.assert_allclose(w, [0, 0, 0, 1], atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    B, T = 2, 240
+    mat = sample_mat_par(rng, B)
+    mat[:, 11] = 0.1 * physics.UNIT_CONVERSIONS[11]
+    sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T, pl_stride=1)
+    mat_nd = jnp.asarray(physics.nondimensionalize(mat, sim.dx, sim.dt))
+    dn = initial_excess_density(sim, (1e18 / 1e7 ** 3, 100.0), "exp")
+    n0 = mat_nd[:, 0:1] + dn[None, :]
+    p0 = mat_nd[:, 1:2] + dn[None, :]
+    e0 = jnp.zeros_like(n0)
+    cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-9, max_iters=100,
+                       method="coupled_newton")
+    # observation = sample 0's own fine-solver curve
+    r_pl = solve(mat_nd, n0, p0, e0, cfg, record_pl=True)
+    lp = np.log10(np.asarray(r_pl.pl) / (sim.dx ** 2 * sim.dt))
+    obs = FusedObs(values=jnp.asarray(lp[0:1]),
+                   log_scale=jnp.asarray(pl_log_scale(sim)), min_val=1e-300)
+    return sim, mat_nd, n0, p0, e0, cfg, obs
+
+
+def test_two_phase_matches_single_phase(problem):
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    r_fine = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
+    r_two = solve_two_phase(mat_nd, n0, p0, e0, cfg, obs,
+                            fine_steps=112, coarse_stride=8)
+    assert np.asarray(r_two.converged).all()
+    n_obs = sim.num_pl
+    # Sample 0 fits its own observation exactly in the fine solver; the
+    # two-phase sse for it measures the coarse+interp deviation directly.
+    rms_dev = np.sqrt(np.asarray(r_two.sse)[0, 0] / n_obs)
+    assert rms_dev < 5e-5, rms_dev
+    # For genuinely mismatched samples the likelihood terms agree closely.
+    sse_f = np.asarray(r_fine.sse)[0, 1]
+    sse_t = np.asarray(r_two.sse)[0, 1]
+    assert abs(sse_t - sse_f) / max(sse_f, 1.0) < 1e-3
+    es_f = np.asarray(r_fine.err_sum)[0, 1]
+    es_t = np.asarray(r_two.err_sum)[0, 1]
+    assert abs(es_t - es_f) < 0.05
+
+
+def test_two_phase_shape_validation(problem):
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    with pytest.raises(ValueError):
+        solve_two_phase(mat_nd, n0, p0, e0, cfg, obs,
+                        fine_steps=111, coarse_stride=8)  # (240-111) % 8 != 0
