@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops.block_tridiag import block_pcr_solve
 from ..ops.tridiag import shift_left, shift_right
-from .trpl import MatParams, _col, update_e
+from .trpl import MatParams, _add_col, _col, _onehot, _zero_col0, update_e
 
 
 def _edge_quantities(Nk, Pk, bE, mp: MatParams, a0):
@@ -73,7 +73,7 @@ def _edge_quantities(Nk, Pk, bE, mp: MatParams, a0):
     )
     # Zero out the non-existent edge 0 (and edge L is handled by shifts).
     for k in d:
-        d[k] = d[k].at[..., 0].set(0.0)
+        d[k] = _zero_col0(d[k])
     return d
 
 
@@ -114,12 +114,12 @@ def residuals_and_jacobian(Nk, Pk, bN, bP, bE, mp: MatParams, a0):
     s0, sL, s0_N, s0_P, sL_N, sL_P = _surface_terms(Nk, Pk, mp)
 
     # Flux divergence with virtual boundary edges: jn[0] := Sft, jn[L] := -Sbt.
-    jn_r = shift_left(e["jn"], 1)      # jn[n+1]; column L-1 gets 0 (virtual)
-    jn_r = jn_r.at[..., -1].add(-sL)
-    jn_l = e["jn"].at[..., 0].add(s0)  # jn[n]; column 0 is virtual Sft
-    jp_r = shift_left(e["jp"], 1)
-    jp_r = jp_r.at[..., -1].add(sL)
-    jp_l = e["jp"].at[..., 0].add(-s0)
+    L = Nk.shape[-1]
+    s0c, sLc = s0[:, None], sL[:, None]
+    jn_r = _add_col(shift_left(e["jn"], 1), L - 1, -sLc)  # jn[n+1]
+    jn_l = _add_col(e["jn"], 0, s0c)                      # jn[n]; edge 0 = Sft
+    jp_r = _add_col(shift_left(e["jp"], 1), L - 1, sLc)
+    jp_l = _add_col(e["jp"], 0, -s0c)
 
     F_N = a0 * Nk + bN - (jn_r - jn_l) + R
     F_P = a0 * Pk + bP + (jp_r - jp_l) + R
@@ -132,14 +132,14 @@ def residuals_and_jacobian(Nk, Pk, bN, bP, bE, mp: MatParams, a0):
     B_PN = shift_left(e["jp_Nm"], 1) - e["jp_Np"] + dR_dN
     # Surface contributions (rows 0 and L-1; all four components get the
     # same-sign derivative because Sft enters F_N and F_P with + sign).
-    B_NN = B_NN.at[..., 0].add(s0_N)
-    B_NP = B_NP.at[..., 0].add(s0_P)
-    B_PN = B_PN.at[..., 0].add(s0_N)
-    B_PP = B_PP.at[..., 0].add(s0_P)
-    B_NN = B_NN.at[..., -1].add(sL_N)
-    B_NP = B_NP.at[..., -1].add(sL_P)
-    B_PN = B_PN.at[..., -1].add(sL_N)
-    B_PP = B_PP.at[..., -1].add(sL_P)
+    sN_term = s0_N[:, None] * _onehot(L, 0, B_NN.dtype) + \
+        sL_N[:, None] * _onehot(L, L - 1, B_NN.dtype)
+    sP_term = s0_P[:, None] * _onehot(L, 0, B_NN.dtype) + \
+        sL_P[:, None] * _onehot(L, L - 1, B_NN.dtype)
+    B_NN = B_NN + sN_term
+    B_NP = B_NP + sP_term
+    B_PN = B_PN + sN_term
+    B_PP = B_PP + sP_term
 
     # Super-diagonal block C_n (couples node n+1 through edge n+1):
     C_NN = -shift_left(e["jn_Np"], 1)
@@ -163,12 +163,13 @@ def _reference_denominators(Nk, Pk, bN, bP, aux):
     (pvSimPCR.py:161,169-170,190,197-198): bb = -R - ds*X - b with the
     surface adjustments; ds = -dR/dX - surface derivative at the rows."""
     R, dR_dN, dR_dP, s0, sL, s0_N, s0_P, sL_N, sL_P = aux
+    L = Nk.shape[-1]
     bbN = -R + dR_dN * Nk - bN
-    bbN = bbN.at[..., 0].add(-(s0 - s0_N * Nk[..., 0]))
-    bbN = bbN.at[..., -1].add(-(sL - sL_N * Nk[..., -1]))
+    bbN = _add_col(bbN, 0, -(s0 - s0_N * Nk[..., 0])[:, None])
+    bbN = _add_col(bbN, L - 1, -(sL - sL_N * Nk[..., -1])[:, None])
     bbP = -R + dR_dP * Pk - bP
-    bbP = bbP.at[..., 0].add(-(s0 - s0_P * Pk[..., 0]))
-    bbP = bbP.at[..., -1].add(-(sL - sL_P * Pk[..., -1]))
+    bbP = _add_col(bbP, 0, -(s0 - s0_P * Pk[..., 0])[:, None])
+    bbP = _add_col(bbP, L - 1, -(sL - sL_P * Pk[..., -1])[:, None])
     return jnp.sum(jnp.abs(bbN), axis=-1), jnp.sum(jnp.abs(bbP), axis=-1)
 
 

@@ -52,22 +52,28 @@ class FusedObs:
     ``min_val``: clamp floor applied to PL before log10
     (reference: probs.py:64-76 via bayeslib.py:157).
 
+    ``mask``: optional (num_exp, n_pl) 0/1 weights — observation points with
+    mask 0 contribute nothing (used when experiments have different curve
+    lengths: shorter curves are zero-padded to the simulated horizon).
+
     Registered as a pytree with (min_val, normalize) as static aux data so
     jitted callers can branch on ``normalize`` at trace time.
     """
 
-    def __init__(self, values, log_scale, min_val: float, normalize: bool = False):
+    def __init__(self, values, log_scale, min_val: float, normalize: bool = False,
+                 mask=None):
         self.values = values
         self.log_scale = log_scale
         self.min_val = float(min_val)
         self.normalize = bool(normalize)
+        self.mask = mask
 
     def tree_flatten(self):
-        return (self.values, self.log_scale), (self.min_val, self.normalize)
+        return (self.values, self.log_scale, self.mask), (self.min_val, self.normalize)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], children[2])
 
 
 class SolveResult(NamedTuple):
@@ -168,6 +174,8 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     if obs is not None:
         e0 = _log_pl(pl0, obs, pl0) - obs.values[:, 0:1]      # (num_exp, batch)
+        if obs.mask is not None:
+            e0 = e0 * obs.mask[:, 0:1]
         sse0, esum0 = e0 ** 2, e0
     else:
         sse0 = esum0 = jnp.zeros((1, batch), dtype)
@@ -196,6 +204,9 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         if obs is not None:
             e = _log_pl(pl, obs, pl0) - jax.lax.dynamic_index_in_dim(
                 obs.values, j + 1, axis=1, keepdims=True)
+            if obs.mask is not None:
+                e = e * jax.lax.dynamic_index_in_dim(
+                    obs.mask, j + 1, axis=1, keepdims=True)
             sse = sse + e ** 2
             esum = esum + e
         ys = []

@@ -65,6 +65,29 @@ def _col(v):
     return v[:, None]
 
 
+def _onehot(L, idx, dtype):
+    """Constant one-hot row vector; used for scatter-free column updates
+    (XLA's scatter lowering is pathologically slow on CPU and suboptimal on
+    TPU — one-hot multiply-adds fuse into the surrounding elementwise
+    work)."""
+    v = np.zeros((L,))
+    v[idx] = 1.0
+    return jnp.asarray(v, dtype)
+
+
+def _zero_col(x, idx=0):
+    return x * (1.0 - _onehot(x.shape[-1], idx, x.dtype))
+
+
+def _zero_col0(x):
+    return _zero_col(x, 0)
+
+
+def _add_col(x, idx, v):
+    """x[..., idx] += v[..., 0] without scatter; v is (batch, 1)."""
+    return x + v * _onehot(x.shape[-1], idx, x.dtype)
+
+
 def recombination(Nk, Pk, mp: MatParams):
     """Total bulk recombination R(N, P): radiative + SRH + Auger."""
     np_ = Nk * Pk - _col(mp.n0 * mp.p0)
@@ -78,14 +101,13 @@ def assemble_n(Nk, Pk, Ek, bN, mp: MatParams, a0):
     Returns (ld, d, ud, rhs) with ld[...,0] == ud[...,-1] == 0.
     """
     dn = _col(mp.dn)
+    L = Nk.shape[-1]
     n0p0 = _col(mp.n0 * mp.p0)
     Er = shift_left(Ek, 1)                      # Er[n] = E[n+1]
     # Flux coupling coefficients; the reference writes A0[n-1] (upper) and
     # A2[n] (lower) from the edge field E[n].
-    ud = dn * (-Er / 2.0 - 1.0)
-    ud = ud.at[..., -1].set(0.0)
-    ld = dn * (Ek / 2.0 - 1.0)
-    ld = ld.at[..., 0].set(0.0)
+    ud = _zero_col(dn * (-Er / 2.0 - 1.0), L - 1)
+    ld = _zero_col(dn * (Ek / 2.0 - 1.0), 0)
     # Source-term Jacobian dR/dN at the current iterate.
     np_ = Nk * Pk - n0p0
     tp = Nk * _col(mp.tau_p) + Pk * _col(mp.tau_n)
@@ -93,10 +115,8 @@ def assemble_n(Nk, Pk, Ek, bN, mp: MatParams, a0):
           - (Pk * tp - _col(mp.tau_p) * np_) / tp ** 2
           - (_col(mp.cn) * Nk * Pk + _col(mp.cp) * Pk ** 2 + _col(mp.cn) * np_))
     # Diagonal: a0 minus the two flux terms that exist for this row.
-    left = dn * (-Ek / 2.0 - 1.0)
-    left = left.at[..., 0].set(0.0)             # row 0 has no left edge
-    right = dn * (Er / 2.0 - 1.0)
-    right = right.at[..., -1].set(0.0)          # row L-1 has no right edge
+    left = _zero_col(dn * (-Ek / 2.0 - 1.0), 0)      # row 0 has no left edge
+    right = _zero_col(dn * (Er / 2.0 - 1.0), L - 1)  # row L-1 has no right edge
     d = a0 - left - right - ds
     rhs = -recombination(Nk, Pk, mp) - ds * Nk - bN
     # Surface recombination rows (reference: pvSimPCR.py:164-170).
@@ -106,31 +126,28 @@ def assemble_n(Nk, Pk, Ek, bN, mp: MatParams, a0):
     denomL = (Nk[..., -1] + Pk[..., -1])[:, None]
     ds0 = -_col(mp.sr0) * (Pk[..., 0:1] ** 2 + n0p0) / denom0 ** 2
     dsL = -_col(mp.srL) * (Pk[..., -1:] ** 2 + n0p0) / denomL ** 2
-    d = d.at[..., 0].add(-ds0[..., 0])
-    d = d.at[..., -1].add(-dsL[..., 0])
-    rhs = rhs.at[..., 0].add(-(s_num0 / denom0 + ds0 * Nk[..., 0:1])[..., 0])
-    rhs = rhs.at[..., -1].add(-(s_numL / denomL + dsL * Nk[..., -1:])[..., 0])
+    d = _add_col(d, 0, -ds0)
+    d = _add_col(d, L - 1, -dsL)
+    rhs = _add_col(rhs, 0, -(s_num0 / denom0 + ds0 * Nk[..., 0:1]))
+    rhs = _add_col(rhs, L - 1, -(s_numL / denomL + dsL * Nk[..., -1:]))
     return ld, d, ud, rhs
 
 
 def assemble_p(Nk, Pk, Ek, bP, mp: MatParams, a0):
     """Tridiagonal Newton system for P (reference: pvSimPCR.py:178-198)."""
     dp = _col(mp.dp)
+    L = Nk.shape[-1]
     n0p0 = _col(mp.n0 * mp.p0)
     Er = shift_left(Ek, 1)
-    ud = dp * (Er / 2.0 - 1.0)
-    ud = ud.at[..., -1].set(0.0)
-    ld = dp * (-Ek / 2.0 - 1.0)
-    ld = ld.at[..., 0].set(0.0)
+    ud = _zero_col(dp * (Er / 2.0 - 1.0), L - 1)
+    ld = _zero_col(dp * (-Ek / 2.0 - 1.0), 0)
     np_ = Nk * Pk - n0p0
     tp = Nk * _col(mp.tau_p) + Pk * _col(mp.tau_n)
     ds = (-_col(mp.rate) * Nk
           - (Nk * tp - _col(mp.tau_n) * np_) / tp ** 2
           - (_col(mp.cp) * Nk * Pk + _col(mp.cn) * Nk ** 2 + _col(mp.cp) * np_))
-    left = dp * (Ek / 2.0 - 1.0)
-    left = left.at[..., 0].set(0.0)
-    right = dp * (-Er / 2.0 - 1.0)
-    right = right.at[..., -1].set(0.0)
+    left = _zero_col(dp * (Ek / 2.0 - 1.0), 0)
+    right = _zero_col(dp * (-Er / 2.0 - 1.0), L - 1)
     d = a0 - left - right - ds
     rhs = -recombination(Nk, Pk, mp) - ds * Pk - bP
     s_num0 = _col(mp.sr0) * (Nk[..., 0] * Pk[..., 0] - n0p0[..., 0])[:, None]
@@ -139,10 +156,10 @@ def assemble_p(Nk, Pk, Ek, bP, mp: MatParams, a0):
     denomL = (Nk[..., -1] + Pk[..., -1])[:, None]
     ds0 = -_col(mp.sr0) * (Nk[..., 0:1] ** 2 + n0p0) / denom0 ** 2
     dsL = -_col(mp.srL) * (Nk[..., -1:] ** 2 + n0p0) / denomL ** 2
-    d = d.at[..., 0].add(-ds0[..., 0])
-    d = d.at[..., -1].add(-dsL[..., 0])
-    rhs = rhs.at[..., 0].add(-(s_num0 / denom0 + ds0 * Pk[..., 0:1])[..., 0])
-    rhs = rhs.at[..., -1].add(-(s_numL / denomL + dsL * Pk[..., -1:])[..., 0])
+    d = _add_col(d, 0, -ds0)
+    d = _add_col(d, L - 1, -dsL)
+    rhs = _add_col(rhs, 0, -(s_num0 / denom0 + ds0 * Pk[..., 0:1]))
+    rhs = _add_col(rhs, L - 1, -(s_numL / denomL + dsL * Pk[..., -1:]))
     return ld, d, ud, rhs
 
 
@@ -154,8 +171,7 @@ def update_e(Nk, Pk, bE, mp: MatParams, a0):
     Pm = shift_right(Pk, 1)
     denom = lam * (dp * (Pk + Pm) + dn * (Nk + Nm)) / 2.0 + a0
     num = lam * (dp * (Pk - Pm) - dn * (Nk - Nm)) - bE
-    Ek = num / denom
-    return Ek.at[..., 0].set(0.0)
+    return _zero_col0(num / denom)
 
 
 def newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp: MatParams, a0):

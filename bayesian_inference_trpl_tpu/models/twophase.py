@@ -87,7 +87,8 @@ def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     # ---- Phase 1: fine steps, standard fused solve over obs[:, :T1+1].
     obs1 = FusedObs(values=obs.values[:, :T1 + 1], log_scale=obs.log_scale,
-                    min_val=obs.min_val, normalize=obs.normalize)
+                    min_val=obs.min_val, normalize=obs.normalize,
+                    mask=None if obs.mask is None else obs.mask[:, :T1 + 1])
     cfg1 = cfg._replace(num_steps=T1, record_state_stride=None,
                         record_iters=False)
     r1 = solve(mat_nd, n_init, p_init, e_init, cfg1, obs=obs1, record_pl=False)
@@ -111,12 +112,20 @@ def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     wtab = jnp.asarray(_lagrange_weight_table(S), dtype)
     # Observation slices for phase 2: (C, num_exp, S).
-    obs_p2 = obs.values[:, T1 + 1:].reshape(obs.values.shape[0], C, S)
-    obs_p2 = jnp.moveaxis(obs_p2, 1, 0)
+    def to_p2(v):
+        out = v[:, T1 + 1:].reshape(v.shape[0], C, S)
+        return jnp.moveaxis(out, 1, 0)
+    obs_p2 = to_p2(obs.values)
+    mask_p2 = to_p2(obs.mask) if obs.mask is not None else None
+
+    has_mask = mask_p2 is not None
 
     def step(carry, xs):
         nh, ph, eh, lp_win, conv, max_it, sse, esum = carry
-        c, obs_slice = xs
+        if has_mask:
+            c, obs_slice, mask_slice = xs
+        else:
+            (c, obs_slice), mask_slice = xs, None
         nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol, dtype)
         Nn, Pn, _ = state
         lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs2, pl0_c)
@@ -124,6 +133,8 @@ def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         W = wtab[jnp.minimum(c, 2)]                       # (S, 4)
         lp_fine = jnp.tensordot(W, lp_win, axes=1)        # (S, batch)
         e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
+        if mask_slice is not None:
+            e = e * mask_slice[:, :, None]
         sse = sse + jnp.sum(e * e, axis=1)
         esum = esum + jnp.sum(e, axis=1)
         return (nh, ph, eh, lp_win, conv & ok, jnp.maximum(max_it, iters),
@@ -131,8 +142,10 @@ def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     carry0 = (nh, ph, eh, lp_win0, r1.converged, r1.max_newton_iters,
               r1.sse, r1.err_sum)
+    xs = ((jnp.arange(C), obs_p2, mask_p2) if has_mask
+          else (jnp.arange(C), obs_p2))
     (nh, ph, eh, _, conv, max_it, sse, esum), _ = jax.lax.scan(
-        step, carry0, (jnp.arange(C), obs_p2))
+        step, carry0, xs)
 
     k_final = jnp.mod(C, HISTORY)
     n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)

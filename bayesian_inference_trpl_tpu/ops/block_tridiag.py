@@ -12,6 +12,7 @@ System: A[i] x[i-1] + B[i] x[i] + C[i] x[i+1] = r[i], with A[0] = C[L-1] = 0
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .tridiag import shift_left, shift_right
@@ -90,6 +91,10 @@ def block_pcr_solve(A, B, C, r):
         A = b_neg(b_mul(k1, _shift_block(A, rf, +1)))
         C = b_neg(b_mul(k2, _shift_block(C, rf, -1)))
         r = r_new
+        # Stop cross-sweep fusion: without a barrier XLA's producer
+        # duplication recomputes earlier sweeps inside later ones
+        # (catastrophic on the CPU backend, ~100x).
+        A, B, C, r = jax.lax.optimization_barrier((A, B, C, r))
         rf *= 2
     # Final 2x2-block pair solves between rows i and i+rf.
     def lo(M):

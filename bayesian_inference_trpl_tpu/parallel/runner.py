@@ -42,24 +42,29 @@ class RunnerTimers:
 
 @partial(jax.jit, static_argnames=("cfg", "normalize", "fast"))
 def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
-                      normalize: bool, fast=None):
+                      normalize: bool, fast=None, obs_mask=None):
     """SPMD chunk program: solve + fused likelihood.  Returns
     (P_chunk (num_exp, chunk), converged (chunk,)).
 
     ``fast``: optional (fine_steps, coarse_stride) selecting the two-phase
-    solver (models/twophase.py)."""
+    solver (models/twophase.py).  ``obs_mask``: optional per-point weights
+    for experiments whose curves are shorter than the simulated horizon.
+    """
     from ..models.twophase import solve_two_phase
 
     n0 = mat_nd[:, 0:1] + dn[None, :]
     p0 = mat_nd[:, 1:2] + dn[None, :]
     e0 = jnp.zeros_like(n0)
     obs = FusedObs(values=obs_values, log_scale=log_scale,
-                   min_val=FLOAT_MIN, normalize=normalize)
+                   min_val=FLOAT_MIN, normalize=normalize, mask=obs_mask)
     if fast is not None:
         res = solve_two_phase(mat_nd, n0, p0, e0, cfg, obs, fast[0], fast[1])
     else:
         res = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
-    n_obs = obs_values.shape[-1]
+    if obs_mask is not None:
+        n_obs = jnp.sum(obs_mask, axis=-1, keepdims=True)
+    else:
+        n_obs = obs_values.shape[-1]
     ll = log_likelihood_from_terms(res.sse, res.err_sum, n_obs, mag[None, :])
     ll = jnp.where(res.converged[None, :], ll, jnp.nan)
     return ll, res.converged
@@ -85,7 +90,8 @@ class ShardedRunner:
                   normalize: bool = False, dtype=None,
                   progress: Optional[Callable[[int, int], None]] = None,
                   chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
-                  start_chunk: int = 0, out: Optional[np.ndarray] = None):
+                  start_chunk: int = 0, out: Optional[np.ndarray] = None,
+                  obs_mask=None):
         """Evaluate log-likelihood of every sample in X for one excitation
         curve against observations on the simulation PL time grid.
 
@@ -112,6 +118,8 @@ class ShardedRunner:
         log_scale = jnp.asarray(pl_log_scale(sim), dtype)
         cfg = sim.solver_config()
         fast = sim.fast_phases
+        mask_rep = (None if obs_mask is None
+                    else self._replicate(np.asarray(obs_mask), dtype))
 
         if out is None:
             out = np.zeros((num_exp, n))
@@ -132,7 +140,7 @@ class ShardedRunner:
             t0 = time.perf_counter()
             ll, ok = _chunk_likelihood(
                 self._shard(mat_c, dtype), self._shard(mag_c, dtype),
-                dn, obs_rep, log_scale, cfg, normalize, fast)
+                dn, obs_rep, log_scale, cfg, normalize, fast, mask_rep)
             ll = np.asarray(ll)
             ok = np.asarray(ok)
             self.timers.solver_time += time.perf_counter() - t0

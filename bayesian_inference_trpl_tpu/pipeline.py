@@ -44,6 +44,65 @@ def almost_equal(x, x0, threshold: float = 1e-10) -> bool:
         return bool(np.abs(np.nanmax((x - x0) / x0)) < threshold)
 
 
+def is_uniform_prefix(times, dt: float, threshold: float = 1e-9) -> bool:
+    """True when ``times`` is exactly the uniform grid 0, dt, 2 dt, ...
+
+    Observation curves on a dt-grid prefix of the simulation horizon can be
+    scored by the fused likelihood on a *shortened* simulation — the
+    reference instead always integrates the full horizon and interpolates
+    down (bayeslib.py:115, 182-191); on matching grids its linear
+    interpolation returns the node values, so the shortened run is exactly
+    equivalent.
+    """
+    times = np.asarray(times)
+    if len(times) < 2 or times[0] != 0.0:
+        return False
+    expected = dt * np.arange(len(times))
+    return bool(np.max(np.abs(times - expected)) <= threshold * max(dt, 1.0))
+
+
+def plan_fused_horizon(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
+    """Decide the fused strategy for one curve.
+
+    Returns (sim', obs_values (num_exp, n), obs_mask or None) when every
+    experiment's curve for this ic is either the full simulation grid or a
+    uniform dt-prefix of it; returns None when interpolation is required.
+    """
+    num_exp = len(e_data)
+    lengths = []
+    for e in range(num_exp):
+        times = np.asarray(e_data[e][0][ic_num])
+        if len(times) > sim.T + 1 or not is_uniform_prefix(times, sim.dt):
+            return None
+        lengths.append(len(times))
+    T_c = max(lengths) - 1
+    # Pad the horizon so the two-phase split stays valid.
+    fast = sim.fast_phases
+    if fast is not None:
+        T1, S = fast
+        if T_c <= T1:
+            fast = None
+        else:
+            while (T_c - T1) % S:
+                T_c += 1
+    T_c = min(T_c, sim.T) if fast is None else T_c
+    sim_c = SimParams(length=sim.length, time=T_c * sim.dt, L=sim.L, T=T_c,
+                      pl_stride=1, tol_exp=sim.tol_exp, max_iters=sim.max_iters,
+                      method=sim.method,
+                      fast_fine_steps=None if fast is None else fast[0],
+                      fast_coarse_stride=sim.fast_coarse_stride)
+    n = T_c + 1
+    values = np.zeros((num_exp, n))
+    need_mask = any(l != n for l in lengths)
+    mask = np.zeros((num_exp, n)) if need_mask else None
+    for e in range(num_exp):
+        v = np.asarray(e_data[e][1][ic_num])
+        values[e, :len(v)] = v
+        if mask is not None:
+            mask[e, :len(v)] = 1.0
+    return sim_c, values, mask
+
+
 def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> SimParams:
     g = cfg.grid
     return SimParams(length=g.thickness_for_curve(ic_num, num_curves),
@@ -83,9 +142,7 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
         if logger:
             logger.info("Curve #%d: thickness=%s, %d timesteps to %s ns",
                         ic_num, sim.length, sim.T, sim.time)
-        sim_times = sim.pl_times
-        times_match = all(
-            almost_equal(sim_times, e_data[e][0][ic_num]) for e in range(num_exp))
+        plan = plan_fused_horizon(cfg, sim, e_data, ic_num)
 
         def _ckpt_chunk(ci, _ll, _ic=ic_num):
             if ckpt is not None:
@@ -96,16 +153,20 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                 ckpt.save_progress(state, P)
 
         first_chunk = start_chunk if ic_num == start_curve else 0
-        if times_match:
+        if plan is not None:
+            sim_c, obs_vals, obs_mask = plan
             if logger:
-                logger.info("Observation times on simulation grid: fused likelihood")
-            obs_vals = np.stack([np.asarray(e_data[e][1][ic_num]) for e in range(num_exp)])
+                logger.info(
+                    "Observation times on simulation grid: fused likelihood "
+                    "(horizon %d steps%s)", sim_c.T,
+                    ", masked" if obs_mask is not None else "")
             _, conv = runner.run_curve(
-                X, sim, init_params[ic_num], obs_vals,
+                X, sim_c, init_params[ic_num], obs_vals,
                 normalize=cfg.sim_flags.self_normalize, dtype=dtype,
                 progress=(lambda ci, nc: logger.info(
                     "Curve #%d: chunk %d of %d", ic_num, ci, nc)) if logger else None,
-                chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P)
+                chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
+                obs_mask=obs_mask)
         else:
             if logger:
                 logger.info("Observation times off-grid: interpolating likelihood")
