@@ -34,11 +34,14 @@ class GridConfig:
     tol_exp: float = 7.0
     max_iters: int = 10000
     method: str = "coupled_newton"      # or "gauss_seidel" (reference scheme)
-    # Two-phase fast solver (models/twophase.py): fine steps through the
-    # transient, then coarse steps with dense log-PL output.  None = single
+    # Multi-phase fast solver (models/twophase.py): fine steps through the
+    # transient, then geometrically coarser phases (stride 8 -> 16 -> ...
+    # capped at fast_max_stride) with dense log-PL output.  None = single
     # phase (reference-equivalent stepping).
     fast_fine_steps: Optional[int] = None
     fast_coarse_stride: int = 8
+    fast_max_stride: int = 64
+    fast_steps_per_phase: int = 1024
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
         if isinstance(self.thickness, (list, tuple)):
@@ -97,6 +100,11 @@ class DeviceConfig:
     chunk_per_device: int = 1024
     n_devices: Optional[int] = None     # default: all local devices
     dtype: str = "default"              # "float32" | "float64" | "default"
+    # Capture a jax.profiler device trace of the run into this directory
+    # (viewable in TensorBoard/Perfetto); None = off.  TPU-native
+    # observability replacing the reference's wall-clock-only accounting
+    # (SURVEY.md section 5; reference: bayeslib.py:210-212).
+    profile_dir: Optional[str] = None
 
 
 @dataclass

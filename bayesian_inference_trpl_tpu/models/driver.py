@@ -32,8 +32,10 @@ class SimParams:
     tol_exp: float = 7.0   # convergence tolerance exponent (TOL = 10^-tol_exp)
     max_iters: int = 10000
     method: str = "coupled_newton"
-    fast_fine_steps: Optional[int] = None   # two-phase solver switch point
-    fast_coarse_stride: int = 8
+    fast_fine_steps: Optional[int] = None   # fast-solver switch point
+    fast_coarse_stride: int = 8             # base stride of the ladder
+    fast_max_stride: int = 64               # stride cap (8 -> 16 -> ... cap)
+    fast_steps_per_phase: int = 1024        # coarse steps per ladder rung
 
     @property
     def dx(self) -> float:
@@ -59,10 +61,18 @@ class SimParams:
 
     @property
     def fast_phases(self):
-        """(fine_steps, coarse_stride) for the two-phase solver, or None."""
+        """Phase schedule ((stride, num_fine_steps), ...) for the
+        multi-phase fast solver (models/twophase.py), or None when the
+        horizon is too short to coarsen (single-phase reference stepping)."""
         if self.fast_fine_steps is None:
             return None
-        return (int(self.fast_fine_steps), int(self.fast_coarse_stride))
+        from .twophase import geometric_schedule
+        sched = geometric_schedule(
+            self.T, int(self.fast_fine_steps),
+            base_stride=int(self.fast_coarse_stride),
+            coarse_steps_per_phase=int(self.fast_steps_per_phase),
+            max_stride=int(self.fast_max_stride))
+        return sched if len(sched) > 1 else None
 
 
 def initial_excess_density(sim: SimParams, ini_par, init_mode: str,
@@ -72,6 +82,8 @@ def initial_excess_density(sim: SimParams, ini_par, init_mode: str,
     init_mode (reference: pvSimPCR.py:347-358):
       * "exp":    ini_par = (a, l); dN(x) = a exp(-x / l), nodes at (i+1/2) dx.
       * "points": ini_par = per-node densities [nm^-3], length L.
+    (For full-state restarts use ``init_mode="continue"`` on :func:`pvsim`,
+    which takes (N, P, E) instead of an excess density.)
     """
     dx = sim.dx
     if init_mode == "exp":
@@ -97,6 +109,19 @@ def _solve_jit(mat_nd, dn, cfg, obs, record_pl, has_obs):
                  record_pl=record_pl)
 
 
+@partial(jax.jit, static_argnames=("cfg", "record_pl", "has_obs"))
+def _solve_state_jit(mat_nd, n0, p0, e0, cfg, obs, record_pl, has_obs):
+    return solve(mat_nd, n0, p0, e0, cfg, obs=obs if has_obs else None,
+                 record_pl=record_pl)
+
+
+def nondim_state(n, p, e, sim: SimParams):
+    """Inverse of :func:`redim_state`: physical (N [nm^-3], P [nm^-3],
+    E [V/nm]) -> nondimensional solver state."""
+    dx = sim.dx
+    return n * dx ** 3, p * dx ** 3, e * dx / physics.KB_T
+
+
 def pvsim(mat_par, sim: SimParams, ini_par, init_mode: str = "points",
           dtype=None, obs: Optional[FusedObs] = None,
           record_pl: bool = True, record_state_stride=None) -> SolveResult:
@@ -105,7 +130,12 @@ def pvsim(mat_par, sim: SimParams, ini_par, init_mode: str = "points",
     Args:
       mat_par: (batch, 12) parameters [n0..lambda] in (V, nm, ns) units
         (mag_offset column excluded, as in the GPU path: bayeslib.py:144).
-      ini_par: initial condition per ``init_mode``.
+      ini_par: initial condition per ``init_mode``.  For
+        ``init_mode="continue"`` (full-state restart; the mode the reference
+        declares but leaves unimplemented, pvSimPCR.py:357), ini_par is a
+        tuple (N, P, E) of per-sample (batch, L) arrays in *physical* units
+        exactly as returned by :func:`redim_state` — the natural API for
+        segmented long-horizon runs.
       obs: optional fused observations; ``obs.values`` must be in log10 of
         physical PL units and on the simulation PL time grid.
 
@@ -116,9 +146,15 @@ def pvsim(mat_par, sim: SimParams, ini_par, init_mode: str = "points",
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mat_nd = physics.nondimensionalize(np.asarray(mat_par), sim.dx, sim.dt)
     mat_nd = jnp.asarray(mat_nd, dtype=dtype)
-    dn = initial_excess_density(sim, ini_par, init_mode, dtype=dtype)
     cfg = sim.solver_config(record_state_stride)
-    res = _solve_jit(mat_nd, dn, cfg, obs, record_pl, obs is not None)
+    if init_mode == "continue":
+        n0, p0, e0 = nondim_state(*(jnp.asarray(a, dtype) for a in ini_par),
+                                  sim)
+        res = _solve_state_jit(mat_nd, n0, p0, e0, cfg, obs, record_pl,
+                               obs is not None)
+    else:
+        dn = initial_excess_density(sim, ini_par, init_mode, dtype=dtype)
+        res = _solve_jit(mat_nd, dn, cfg, obs, record_pl, obs is not None)
     if res.pl is not None:
         res = res._replace(pl=res.pl / (sim.dx ** 2 * sim.dt))
     return res

@@ -93,16 +93,20 @@ def _recomb_terms(Nk, Pk, mp: MatParams):
 
 
 def _surface_terms(Nk, Pk, mp: MatParams):
-    """Boundary recombination Sft/Sbt and their partials."""
-    n0p0 = mp.n0 * mp.p0
-    N0, P0 = Nk[..., 0], Pk[..., 0]
-    NL, PL_ = Nk[..., -1], Pk[..., -1]
-    s0 = mp.sr0 * (N0 * P0 - n0p0) / (N0 + P0)
-    sL = mp.srL * (NL * PL_ - n0p0) / (NL + PL_)
-    s0_N = mp.sr0 * (P0 ** 2 + n0p0) / (N0 + P0) ** 2
-    s0_P = mp.sr0 * (N0 ** 2 + n0p0) / (N0 + P0) ** 2
-    sL_N = mp.srL * (PL_ ** 2 + n0p0) / (NL + PL_) ** 2
-    sL_P = mp.srL * (NL ** 2 + n0p0) / (NL + PL_) ** 2
+    """Boundary recombination Sft/Sbt and their partials, as (batch, 1)
+    columns.  Static lane-slices (``[..., :1]`` / ``[..., -1:]``) rather
+    than scalar extraction so the same code lowers inside Pallas kernels
+    (Mosaic has no dynamic_slice)."""
+    n0p0 = _col(mp.n0 * mp.p0)
+    sr0, srL = _col(mp.sr0), _col(mp.srL)
+    N0, P0 = Nk[..., :1], Pk[..., :1]
+    NL, PL_ = Nk[..., -1:], Pk[..., -1:]
+    s0 = sr0 * (N0 * P0 - n0p0) / (N0 + P0)
+    sL = srL * (NL * PL_ - n0p0) / (NL + PL_)
+    s0_N = sr0 * (P0 ** 2 + n0p0) / (N0 + P0) ** 2
+    s0_P = sr0 * (N0 ** 2 + n0p0) / (N0 + P0) ** 2
+    sL_N = srL * (PL_ ** 2 + n0p0) / (NL + PL_) ** 2
+    sL_P = srL * (NL ** 2 + n0p0) / (NL + PL_) ** 2
     return s0, sL, s0_N, s0_P, sL_N, sL_P
 
 
@@ -115,11 +119,10 @@ def residuals_and_jacobian(Nk, Pk, bN, bP, bE, mp: MatParams, a0):
 
     # Flux divergence with virtual boundary edges: jn[0] := Sft, jn[L] := -Sbt.
     L = Nk.shape[-1]
-    s0c, sLc = s0[:, None], sL[:, None]
-    jn_r = _add_col(shift_left(e["jn"], 1), L - 1, -sLc)  # jn[n+1]
-    jn_l = _add_col(e["jn"], 0, s0c)                      # jn[n]; edge 0 = Sft
-    jp_r = _add_col(shift_left(e["jp"], 1), L - 1, sLc)
-    jp_l = _add_col(e["jp"], 0, -s0c)
+    jn_r = _add_col(shift_left(e["jn"], 1), L - 1, -sL)   # jn[n+1]
+    jn_l = _add_col(e["jn"], 0, s0)                       # jn[n]; edge 0 = Sft
+    jp_r = _add_col(shift_left(e["jp"], 1), L - 1, sL)
+    jp_l = _add_col(e["jp"], 0, -s0)
 
     F_N = a0 * Nk + bN - (jn_r - jn_l) + R
     F_P = a0 * Pk + bP + (jp_r - jp_l) + R
@@ -132,10 +135,10 @@ def residuals_and_jacobian(Nk, Pk, bN, bP, bE, mp: MatParams, a0):
     B_PN = shift_left(e["jp_Nm"], 1) - e["jp_Np"] + dR_dN
     # Surface contributions (rows 0 and L-1; all four components get the
     # same-sign derivative because Sft enters F_N and F_P with + sign).
-    sN_term = s0_N[:, None] * _onehot(L, 0, B_NN.dtype) + \
-        sL_N[:, None] * _onehot(L, L - 1, B_NN.dtype)
-    sP_term = s0_P[:, None] * _onehot(L, 0, B_NN.dtype) + \
-        sL_P[:, None] * _onehot(L, L - 1, B_NN.dtype)
+    sN_term = s0_N * _onehot(L, 0, B_NN.dtype) + \
+        sL_N * _onehot(L, L - 1, B_NN.dtype)
+    sP_term = s0_P * _onehot(L, 0, B_NN.dtype) + \
+        sL_P * _onehot(L, L - 1, B_NN.dtype)
     B_NN = B_NN + sN_term
     B_NP = B_NP + sP_term
     B_PN = B_PN + sN_term
@@ -165,11 +168,11 @@ def _reference_denominators(Nk, Pk, bN, bP, aux):
     R, dR_dN, dR_dP, s0, sL, s0_N, s0_P, sL_N, sL_P = aux
     L = Nk.shape[-1]
     bbN = -R + dR_dN * Nk - bN
-    bbN = _add_col(bbN, 0, -(s0 - s0_N * Nk[..., 0])[:, None])
-    bbN = _add_col(bbN, L - 1, -(sL - sL_N * Nk[..., -1])[:, None])
+    bbN = _add_col(bbN, 0, -(s0 - s0_N * Nk[..., :1]))
+    bbN = _add_col(bbN, L - 1, -(sL - sL_N * Nk[..., -1:]))
     bbP = -R + dR_dP * Pk - bP
-    bbP = _add_col(bbP, 0, -(s0 - s0_P * Pk[..., 0])[:, None])
-    bbP = _add_col(bbP, L - 1, -(sL - sL_P * Pk[..., -1])[:, None])
+    bbP = _add_col(bbP, 0, -(s0 - s0_P * Pk[..., :1]))
+    bbP = _add_col(bbP, L - 1, -(sL - sL_P * Pk[..., -1:]))
     return jnp.sum(jnp.abs(bbN), axis=-1), jnp.sum(jnp.abs(bbP), axis=-1)
 
 
@@ -179,29 +182,33 @@ def coupled_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
     system.  Same signature/semantics as trpl.implicit_step; Ek0 is ignored
     (E is a function of N, P) but accepted for interface parity.
 
-    Returns (N, P, E, iters, converged).
+    Returns (N, P, E, iters, converged) with iters the (batch,) per-sample
+    count of Newton updates actually applied.
     """
     batch = Nk0.shape[0]
     done0 = jnp.zeros((batch,), dtype=bool)
+    its0 = jnp.zeros((batch,), dtype=jnp.int32)
 
     def cond(carry):
-        _, _, done, it = carry
+        _, _, done, _, it = carry
         return (it < max_iters) & jnp.logical_not(jnp.all(done))
 
     def body(carry):
-        Nk, Pk, done, it = carry
+        Nk, Pk, done, its, it = carry
         (F_N, F_P), (A, B, C), aux = residuals_and_jacobian(
             Nk, Pk, bN, bP, bE, mp, a0)
         den_n, den_p = _reference_denominators(Nk, Pk, bN, bP, aux)
         err_n = jnp.sum(jnp.abs(F_N), axis=-1) / den_n
         err_p = jnp.sum(jnp.abs(F_P), axis=-1) / den_p
         dN, dP = block_pcr_solve(A, B, C, (-F_N, -F_P))
-        upd = jnp.logical_not(done)[:, None]
-        Nk = jnp.where(upd, Nk + dN, Nk)
-        Pk = jnp.where(upd, Pk + dP, Pk)
+        upd = jnp.logical_not(done)
+        Nk = jnp.where(upd[:, None], Nk + dN, Nk)
+        Pk = jnp.where(upd[:, None], Pk + dP, Pk)
+        its = its + upd.astype(jnp.int32)
         done = done | ((err_n < tol) & (err_p < tol))
-        return Nk, Pk, done, it + 1
+        return Nk, Pk, done, its, it + 1
 
-    Nk, Pk, done, it = jax.lax.while_loop(cond, body, (Nk0, Pk0, done0, jnp.int32(0)))
+    Nk, Pk, done, its, _ = jax.lax.while_loop(
+        cond, body, (Nk0, Pk0, done0, its0, jnp.int32(0)))
     Ek = update_e(Nk, Pk, bE, mp, a0)
-    return Nk, Pk, Ek, it, done
+    return Nk, Pk, Ek, its, done

@@ -39,7 +39,9 @@ class SolverConfig(NamedTuple):
     record_iters: bool = False     # emit per-outer-step Newton iteration counts
     predictor: str = "previous"    # "previous" (reference) | "linear" extrapolation
     method: str = "gauss_seidel"   # "gauss_seidel" (reference scheme) |
-    #                                "coupled_newton" (exact Jacobian, E eliminated)
+    #                                "coupled_newton" (exact Jacobian, E eliminated) |
+    #                                "coupled_newton_pallas" (same math, fused
+    #                                Pallas TPU kernel; f32, modest max_iters)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -87,6 +89,8 @@ class SolveResult(NamedTuple):
     err_sum: Optional[jax.Array]   # (num_exp, batch) running sum of e
     states: Optional[tuple] = None  # optional (N, P, E) snapshot stacks
     iters: Optional[jax.Array] = None  # (n_outer,) Newton iterations per step
+    hist: Optional[tuple] = None   # final (nh, ph, eh) rolling histories
+    sample_iters: Optional[jax.Array] = None  # (batch,) total Newton iters
 
 
 def pl_observable(N, P, mp: MatParams):
@@ -131,7 +135,15 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
         Nk = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
         Pk = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
         Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
-    step_impl = implicit_step if cfg.method == "gauss_seidel" else coupled_newton_step
+    if cfg.method == "gauss_seidel":
+        step_impl = implicit_step
+    elif cfg.method == "coupled_newton_pallas":
+        from ..ops.pallas.newton_kernel import pallas_newton_step
+        from functools import partial
+        step_impl = partial(pallas_newton_step,
+                            interpret=jax.default_backend() != "tpu")
+    else:
+        step_impl = coupled_newton_step
     Nn, Pn, En, iters, ok = step_impl(
         Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
     nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
@@ -149,7 +161,9 @@ def init_history(n_init, p_init, e_init, dtype):
 
 
 def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
-          obs: Optional[FusedObs] = None, record_pl: bool = True) -> SolveResult:
+          obs: Optional[FusedObs] = None, record_pl: bool = True,
+          start_step: int = 0, init_hist: Optional[tuple] = None,
+          acc0: Optional[tuple] = None, return_hist: bool = False) -> SolveResult:
     """Evolve a batch of TRPL simulations for cfg.num_steps BDF steps.
 
     Args:
@@ -157,6 +171,14 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
       n_init/p_init/e_init: (batch, L) initial state (E on edges 0..L-1).
       obs: optional fused observations (enables in-scan likelihood).
       record_pl: emit the PL trace (can be False when obs is fused).
+      start_step/init_hist/acc0/return_hist: bit-exact segmentation support
+        (the working ``continue`` mode the reference only stubbed,
+        pvSimPCR.py:357): pass ``return_hist=True`` on one segment and feed
+        the resulting ``hist`` (and, for fused likelihood, ``(sse, err_sum)``
+        as ``acc0`` plus the obs slice from the segment boundary) into the
+        next call with ``start_step`` = steps already taken.  The BDF order
+        ramp, rolling slot layout, and likelihood accumulators continue
+        exactly where the previous segment stopped.
     """
     mp = MatParams.from_array(mat_nd)
     dtype = n_init.dtype
@@ -165,14 +187,29 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     T, stride = cfg.num_steps, cfg.pl_stride
     if T % stride:
         raise ValueError(f"num_steps={T} not divisible by pl_stride={stride}")
+    if start_step % stride:
+        raise ValueError(f"start_step={start_step} not divisible by pl_stride")
     n_outer = T // stride
     tol = jnp.asarray(cfg.tol, dtype)
 
-    nh, ph, eh = init_history(n_init, p_init, e_init, dtype)
+    if init_hist is not None:
+        nh, ph, eh = init_hist
+        k0 = start_step % HISTORY
+        n_cur, p_cur = (jax.lax.dynamic_index_in_dim(h, k0, keepdims=False)
+                        for h in (nh, ph))
+    else:
+        nh, ph, eh = init_history(n_init, p_init, e_init, dtype)
+        n_cur, p_cur = n_init.astype(dtype), p_init.astype(dtype)
 
-    pl0 = pl_observable(n_init.astype(dtype), p_init.astype(dtype), mp)
+    # Normalization anchor and the segment-start PL sample.  For a fresh run
+    # these coincide; a continued segment re-derives the start PL from the
+    # carried history (its obs[:, 0] point was already scored by the
+    # previous segment whenever acc0 is passed).
+    pl0 = pl_observable(n_cur, p_cur, mp)
 
-    if obs is not None:
+    if acc0 is not None:
+        sse0, esum0 = acc0
+    elif obs is not None:
         e0 = _log_pl(pl0, obs, pl0) - obs.values[:, 0:1]      # (num_exp, batch)
         if obs.mask is not None:
             e0 = e0 * obs.mask[:, 0:1]
@@ -181,20 +218,22 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         sse0 = esum0 = jnp.zeros((1, batch), dtype)
 
     def outer_step(carry, j):
-        nh, ph, eh, conv, max_it, sse, esum = carry
-        t0 = j * stride
+        nh, ph, eh, conv, max_it, samp_it, sse, esum = carry
+        t0 = start_step + j * stride
         if stride == 1:
             nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh, mp, cfg, tol, dtype)
             conv = conv & ok
-            outer_iters = iters
-            max_it = jnp.maximum(max_it, iters)
+            samp_it = samp_it + iters
+            outer_iters = jnp.max(iters)
+            max_it = jnp.maximum(max_it, outer_iters)
         else:
             def inner(i, acc):
-                nh, ph, eh, conv, lmax = acc
+                nh, ph, eh, conv, samp_it, lmax = acc
                 nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh, mp, cfg, tol, dtype)
-                return nh, ph, eh, conv & ok, jnp.maximum(lmax, iters)
-            nh, ph, eh, conv, outer_iters = jax.lax.fori_loop(
-                0, stride, inner, (nh, ph, eh, conv, jnp.int32(0)))
+                return (nh, ph, eh, conv & ok, samp_it + iters,
+                        jnp.maximum(lmax, jnp.max(iters)))
+            nh, ph, eh, conv, samp_it, outer_iters = jax.lax.fori_loop(
+                0, stride, inner, (nh, ph, eh, conv, samp_it, jnp.int32(0)))
             max_it = jnp.maximum(max_it, outer_iters)
             kp = jnp.mod(t0 + stride, HISTORY)
             state = tuple(jax.lax.dynamic_index_in_dim(h, kp, keepdims=False)
@@ -217,11 +256,12 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
             ys.append(tuple(jnp.where(rec, s, jnp.nan) for s in state))
         if cfg.record_iters:
             ys.append(outer_iters)
-        return (nh, ph, eh, conv, max_it, sse, esum), tuple(ys)
+        return (nh, ph, eh, conv, max_it, samp_it, sse, esum), tuple(ys)
 
     conv0 = jnp.ones((batch,), dtype=bool)
-    carry0 = (nh, ph, eh, conv0, jnp.int32(0), sse0, esum0)
-    (nh, ph, eh, conv, max_it, sse, esum), ys = jax.lax.scan(
+    samp_it0 = jnp.zeros((batch,), dtype=jnp.int32)
+    carry0 = (nh, ph, eh, conv0, jnp.int32(0), samp_it0, sse0, esum0)
+    (nh, ph, eh, conv, max_it, samp_it, sse, esum), ys = jax.lax.scan(
         outer_step, carry0, jnp.arange(n_outer))
 
     yi = 0
@@ -235,7 +275,7 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         yi += 1
     iters_trace = ys[yi] if cfg.record_iters else None
 
-    k_final = jnp.mod(T, HISTORY)
+    k_final = jnp.mod(start_step + T, HISTORY)
     n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
                      for h in (nh, ph, eh))
     return SolveResult(
@@ -245,4 +285,6 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         err_sum=esum if obs is not None else None,
         states=states,
         iters=iters_trace,
+        hist=(nh, ph, eh) if return_hist else None,
+        sample_iters=samp_it,
     )

@@ -66,13 +66,14 @@ def _col(v):
 
 
 def _onehot(L, idx, dtype):
-    """Constant one-hot row vector; used for scatter-free column updates
+    """One-hot (1, L) row vector; used for scatter-free column updates
     (XLA's scatter lowering is pathologically slow on CPU and suboptimal on
     TPU — one-hot multiply-adds fuse into the surrounding elementwise
-    work)."""
-    v = np.zeros((L,))
-    v[idx] = 1.0
-    return jnp.asarray(v, dtype)
+    work).  Built from a broadcasted iota rather than a host constant so it
+    is legal inside Pallas kernels (closure constants must be inputs); XLA
+    constant-folds it either way."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    return (i == idx).astype(dtype)
 
 
 def _zero_col(x, idx=0):
@@ -200,35 +201,29 @@ def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol, max_iters: 
     non-convergence is surfaced as a per-sample flag instead of a kernel-wide
     abort.
 
-    Returns (N, P, E, iters, converged) with iters the per-sample iteration
-    count actually used.
+    Returns (N, P, E, iters, converged) with iters the (batch,) per-sample
+    count of Newton updates actually applied (convergence diagnostics the
+    reference surfaced per launch; SURVEY.md section 5).
     """
     batch = Nk0.shape[0]
     done0 = jnp.zeros((batch,), dtype=bool)
-    iters0 = jnp.zeros((batch,), dtype=jnp.int32)
+    its0 = jnp.zeros((batch,), dtype=jnp.int32)
 
     def cond(carry):
-        _, _, _, done, it = carry
+        _, _, _, done, _, it = carry
         return (it < max_iters) & jnp.logical_not(jnp.all(done))
 
     def body(carry):
-        Nk, Pk, Ek, done, it = carry
+        Nk, Pk, Ek, done, its, it = carry
         Nk1, Pk1, Ek1, err_n, err_p = newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp, a0)
         upd = jnp.logical_not(done)
         Nk = jnp.where(upd[:, None], Nk1, Nk)
         Pk = jnp.where(upd[:, None], Pk1, Pk)
         Ek = jnp.where(upd[:, None], Ek1, Ek)
+        its = its + upd.astype(jnp.int32)
         done = done | ((err_n < tol) & (err_p < tol))
-        return Nk, Pk, Ek, done, it + 1
+        return Nk, Pk, Ek, done, its, it + 1
 
-    def track_body(carry):
-        Nk, Pk, Ek, done, it = body(carry)
-        return Nk, Pk, Ek, done, it
-
-    Nk, Pk, Ek, done, it = jax.lax.while_loop(
-        cond, track_body, (Nk0, Pk0, Ek0, done0, jnp.int32(0)))
-    # Per-sample iteration counts are not tracked inside the fused loop to
-    # keep the carry small; report the global count and convergence mask.
-    iters = jnp.where(done, jnp.minimum(it, max_iters), it).astype(jnp.int32)
-    del iters0
-    return Nk, Pk, Ek, it, done
+    Nk, Pk, Ek, done, its, _ = jax.lax.while_loop(
+        cond, body, (Nk0, Pk0, Ek0, done0, its0, jnp.int32(0)))
+    return Nk, Pk, Ek, its, done

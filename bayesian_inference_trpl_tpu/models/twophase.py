@@ -1,29 +1,31 @@
-"""Two-phase fast solver: fine BDF steps through the stiff excitation
-transient, then coarse BDF steps with high-order dense output of log-PL at
-every fine observation time.
+"""Multi-phase fast solver: fine BDF steps through the stiff excitation
+transient, then progressively coarser BDF phases with high-order dense
+output of log-PL at every fine observation time.
 
 The reference integrates the full 2000 ns horizon at dt = 25 ps (80,000
 steps; parallel_bayes_gpu.py:74-75) because its CUDA kernel has a fixed
 step and emits PL every step.  Physically, the PL transient is stiff only
 for the first few ns after excitation; beyond that the solution decays on
-~ns-to-us scales and dt = 25 ps oversamples it by orders of magnitude.
+~ns-to-us scales and dt = 25 ps oversamples it by orders of magnitude —
+and the oversampling factor *grows* with delay time, which is what the
+geometric stride ladder (8 -> 16 -> 32 -> 64 ...) exploits.
 
-Here: phase 1 runs `fine_steps` steps at dt; phase 2 restarts BDF (order
-ramp) at step size S*dt and reconstructs log10-PL at the S-1 skipped fine
-times per coarse interval by cubic Lagrange interpolation *in log space*
-(PL decays ~exponentially, so log-PL is nearly linear and the cubic error
-is far below the float32 floor — gated against the oracle in
-tests/test_twophase.py).  The fused likelihood consumes every one of the
-T+1 fine observation points, exactly like the single-phase solver, so the
-work product is identical within solver accuracy.
+Each coarse phase restarts BDF (order ramp) at step size S*dt and
+reconstructs log10-PL at the S-1 skipped fine times per coarse interval by
+cubic Lagrange interpolation *in log space* (PL decays ~exponentially, so
+log-PL is nearly linear and the cubic error is far below the float32 floor
+— gated against the single-phase solver in tests/test_twophase.py).  The
+fused likelihood consumes every one of the T+1 fine observation points,
+exactly like the single-phase solver, so the work product is identical
+within solver accuracy.
 
 State carries over unchanged between phases: the nondimensional N', P'
 (carriers/cell) and E' (q E dx / kB T) do not depend on dt; only the rate
-columns of the parameter matrix rescale (physics.rescale_dt).
+columns of the parameter matrix rescale (rescale_dt).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +39,9 @@ from .trpl import MatParams
 # (see physics.nondim_scales): diffusivities, B, surface S, Auger ~ dt;
 # lifetimes ~ 1/dt.
 _DT_SCALING = np.array([0, 0, 1, 1, 1, 1, 1, 1, 1, -1, -1, 0])
+
+# (stride, num_fine_steps) pairs; stride 1 first (the fine phase).
+Schedule = Tuple[Tuple[int, int], ...]
 
 
 def rescale_dt(mat_nd, factor: float):
@@ -70,22 +75,129 @@ def _lagrange_weight_table(S: int) -> np.ndarray:
     return tab
 
 
-def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
-                    obs: FusedObs, fine_steps: int, coarse_stride: int) -> SolveResult:
-    """Fused-likelihood solve of cfg.num_steps fine-dt steps via
-    fine/coarse phases.  Requires fused observations (record_pl analog is
-    the single-phase solver)."""
-    T = cfg.num_steps
-    T1, S = int(fine_steps), int(coarse_stride)
+def geometric_schedule(T: int, fine_steps: int = 2048, base_stride: int = 8,
+                       growth: int = 2, coarse_steps_per_phase: int = 1024,
+                       max_stride: int = 64) -> Schedule:
+    """Build a fine-then-geometric phase schedule covering T fine steps.
+
+    Phase 1 covers ``fine_steps`` at stride 1; subsequent phases run
+    ``coarse_steps_per_phase`` coarse steps at strides base_stride,
+    base_stride*growth, ... capped at ``max_stride``; the final phase (at
+    max_stride, or earlier if T is short) absorbs the remainder.  Any
+    sub-stride leftover is folded into the fine phase, so the schedule sums
+    exactly to T.
+    """
+    if fine_steps >= T:
+        return ((1, T),)
+    rem = T - fine_steps
+    parts = []
+    s = base_stride
+    while rem >= s:
+        if s >= max_stride or coarse_steps_per_phase * s >= rem:
+            take = (rem // s) * s             # final phase absorbs the rest
+        else:
+            take = coarse_steps_per_phase * s
+        parts.append((s, take))
+        rem -= take
+        s = min(s * growth, max_stride)
+    return ((1, fine_steps + rem),) + tuple(parts)
+
+
+def _validate_schedule(schedule: Schedule, T: int) -> None:
+    if not schedule or schedule[0][0] != 1:
+        raise ValueError("schedule must start with a stride-1 fine phase")
+    total = 0
+    for s, n in schedule:
+        if n % s:
+            raise ValueError(f"phase length {n} not divisible by stride {s}")
+        total += n
+    if total != T:
+        raise ValueError(f"schedule covers {total} steps, expected {T}")
+
+
+def _coarse_phase(mat_nd, n0, p0, e0, cfg: SolverConfig, obs: FusedObs,
+                  pl0, acc, t_off: int, n_fine: int, S: int):
+    """Run one coarse phase of n_fine//S steps at stride S starting from
+    state (n0, p0, e0), accumulating the fused likelihood over the fine
+    observation points in (t_off, t_off + n_fine].
+
+    ``acc`` = (converged, max_iters, sse, err_sum) carried across phases;
+    ``pl0`` is the t=0 fine-dt PL (for self-normalization).  Returns
+    (n, p, e, acc).
+    """
+    C = n_fine // S
+    dtype = n0.dtype
+    mat_c = rescale_dt(mat_nd, S)
+    mp = MatParams.from_array(mat_c).astype(dtype)
+    # Nondimensional PL scales with dt: adjust the log offset (and pl0 for
+    # self-normalization) to coarse units.
+    obs_c = FusedObs(values=obs.values, log_scale=obs.log_scale - np.log10(S),
+                     min_val=obs.min_val, normalize=obs.normalize)
+    pl0_c = pl0 * S
+    tol = jnp.asarray(cfg.tol, dtype)
+
+    nh, ph, eh = init_history(n0, p0, e0, dtype)
+    lp_start = _log_pl(pl_observable(n0, p0, mp), obs_c, pl0_c)
+    batch = n0.shape[0]
+    lp_win0 = jnp.zeros((4, batch), dtype).at[3].set(lp_start)
+
+    wtab = jnp.asarray(_lagrange_weight_table(S), dtype)
+    # Observation slices for this phase: (C, num_exp, S).
+    def slice_phase(v):
+        out = v[:, t_off + 1:t_off + n_fine + 1].reshape(v.shape[0], C, S)
+        return jnp.moveaxis(out, 1, 0)
+    obs_sl = slice_phase(obs.values)
+    mask_sl = slice_phase(obs.mask) if obs.mask is not None else None
+    has_mask = mask_sl is not None
+
+    def step(carry, xs):
+        nh, ph, eh, lp_win, conv, max_it, samp_it, sse, esum = carry
+        if has_mask:
+            c, obs_slice, mask_slice = xs
+        else:
+            (c, obs_slice), mask_slice = xs, None
+        nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol, dtype)
+        Nn, Pn, _ = state
+        lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs_c, pl0_c)
+        lp_win = jnp.concatenate([lp_win[1:], lp_new[None]], axis=0)
+        W = wtab[jnp.minimum(c, 2)]                       # (S, 4)
+        lp_fine = jnp.tensordot(W, lp_win, axes=1)        # (S, batch)
+        e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
+        if mask_slice is not None:
+            e = e * mask_slice[:, :, None]
+        sse = sse + jnp.sum(e * e, axis=1)
+        esum = esum + jnp.sum(e, axis=1)
+        return (nh, ph, eh, lp_win, conv & ok,
+                jnp.maximum(max_it, jnp.max(iters)), samp_it + iters,
+                sse, esum), None
+
+    conv, max_it, samp_it, sse, esum = acc
+    carry0 = (nh, ph, eh, lp_win0, conv, max_it, samp_it, sse, esum)
+    xs = ((jnp.arange(C), obs_sl, mask_sl) if has_mask
+          else (jnp.arange(C), obs_sl))
+    (nh, ph, eh, _, conv, max_it, samp_it, sse, esum), _ = jax.lax.scan(
+        step, carry0, xs)
+
+    k_final = jnp.mod(C, HISTORY)
+    n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
+                     for h in (nh, ph, eh))
+    return n_f, p_f, e_f, (conv, max_it, samp_it, sse, esum)
+
+
+def solve_multiphase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
+                     obs: FusedObs, schedule: Schedule) -> SolveResult:
+    """Fused-likelihood solve of cfg.num_steps fine-dt steps via the given
+    fine/coarse phase schedule.  Requires fused observations (record_pl is
+    the single-phase solver's job)."""
     if cfg.pl_stride != 1:
-        raise ValueError("two-phase solver requires pl_stride == 1")
-    if (T - T1) % S:
-        raise ValueError(f"(T - fine_steps) = {T - T1} not divisible by S={S}")
-    C = (T - T1) // S
+        raise ValueError("multi-phase solver requires pl_stride == 1")
+    schedule = tuple((int(s), int(n)) for s, n in schedule)
+    _validate_schedule(schedule, cfg.num_steps)
     dtype = n_init.dtype
     mp_fine = MatParams.from_array(mat_nd).astype(dtype)
 
     # ---- Phase 1: fine steps, standard fused solve over obs[:, :T1+1].
+    T1 = schedule[0][1]
     obs1 = FusedObs(values=obs.values[:, :T1 + 1], log_scale=obs.log_scale,
                     min_val=obs.min_val, normalize=obs.normalize,
                     mask=None if obs.mask is None else obs.mask[:, :T1 + 1])
@@ -95,60 +207,27 @@ def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     pl0 = pl_observable(n_init.astype(dtype), p_init.astype(dtype), mp_fine)
 
-    # ---- Phase 2: coarse steps.
-    mat_c = rescale_dt(mat_nd, S)
-    mp = MatParams.from_array(mat_c).astype(dtype)
-    # Nondimensional PL scales with dt: adjust the log offset (and pl0 for
-    # self-normalization) to coarse units.
-    obs2 = FusedObs(values=obs.values, log_scale=obs.log_scale - np.log10(S),
-                    min_val=obs.min_val, normalize=obs.normalize)
-    pl0_c = pl0 * S
-    tol = jnp.asarray(cfg.tol, dtype)
+    n, p, e = r1.n, r1.p, r1.e
+    acc = (r1.converged, r1.max_newton_iters, r1.sample_iters,
+           r1.sse, r1.err_sum)
+    t_off = T1
+    for S, n_fine in schedule[1:]:
+        n, p, e, acc = _coarse_phase(mat_nd, n, p, e, cfg, obs, pl0, acc,
+                                     t_off, n_fine, S)
+        t_off += n_fine
+    conv, max_it, samp_it, sse, esum = acc
+    return SolveResult(pl=None, n=n, p=p, e=e, converged=conv,
+                       max_newton_iters=max_it, sse=sse, err_sum=esum,
+                       sample_iters=samp_it)
 
-    nh, ph, eh = init_history(r1.n, r1.p, r1.e, dtype)
-    lp_start = _log_pl(pl_observable(r1.n, r1.p, mp), obs2, pl0_c)
-    batch = n_init.shape[0]
-    lp_win0 = jnp.zeros((4, batch), dtype).at[3].set(lp_start)
 
-    wtab = jnp.asarray(_lagrange_weight_table(S), dtype)
-    # Observation slices for phase 2: (C, num_exp, S).
-    def to_p2(v):
-        out = v[:, T1 + 1:].reshape(v.shape[0], C, S)
-        return jnp.moveaxis(out, 1, 0)
-    obs_p2 = to_p2(obs.values)
-    mask_p2 = to_p2(obs.mask) if obs.mask is not None else None
-
-    has_mask = mask_p2 is not None
-
-    def step(carry, xs):
-        nh, ph, eh, lp_win, conv, max_it, sse, esum = carry
-        if has_mask:
-            c, obs_slice, mask_slice = xs
-        else:
-            (c, obs_slice), mask_slice = xs, None
-        nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol, dtype)
-        Nn, Pn, _ = state
-        lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs2, pl0_c)
-        lp_win = jnp.concatenate([lp_win[1:], lp_new[None]], axis=0)
-        W = wtab[jnp.minimum(c, 2)]                       # (S, 4)
-        lp_fine = jnp.tensordot(W, lp_win, axes=1)        # (S, batch)
-        e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
-        if mask_slice is not None:
-            e = e * mask_slice[:, :, None]
-        sse = sse + jnp.sum(e * e, axis=1)
-        esum = esum + jnp.sum(e, axis=1)
-        return (nh, ph, eh, lp_win, conv & ok, jnp.maximum(max_it, iters),
-                sse, esum), None
-
-    carry0 = (nh, ph, eh, lp_win0, r1.converged, r1.max_newton_iters,
-              r1.sse, r1.err_sum)
-    xs = ((jnp.arange(C), obs_p2, mask_p2) if has_mask
-          else (jnp.arange(C), obs_p2))
-    (nh, ph, eh, _, conv, max_it, sse, esum), _ = jax.lax.scan(
-        step, carry0, xs)
-
-    k_final = jnp.mod(C, HISTORY)
-    n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
-                     for h in (nh, ph, eh))
-    return SolveResult(pl=None, n=n_f, p=p_f, e=e_f, converged=conv,
-                       max_newton_iters=max_it, sse=sse, err_sum=esum)
+def solve_two_phase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
+                    obs: FusedObs, fine_steps: int, coarse_stride: int) -> SolveResult:
+    """Two-phase special case of :func:`solve_multiphase` (kept as the
+    stable API used by the runner when no stride ladder is configured)."""
+    T1, S = int(fine_steps), int(coarse_stride)
+    T = cfg.num_steps
+    if (T - T1) % S:
+        raise ValueError(f"(T - fine_steps) = {T - T1} not divisible by S={S}")
+    return solve_multiphase(mat_nd, n_init, p_init, e_init, cfg, obs,
+                            ((1, T1), (S, T - T1)))

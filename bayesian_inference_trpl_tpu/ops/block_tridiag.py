@@ -67,13 +67,17 @@ def _shift_vec(v, rf, direction):
     return (sh(v[0], rf, 0.0), sh(v[1], rf, 0.0))
 
 
-def block_pcr_solve(A, B, C, r):
+def block_pcr_solve(A, B, C, r, use_barrier: bool = True):
     """Solve the block tridiagonal system; L (last axis) a power of two.
 
     Same reduction as ops.tridiag.pcr_solve lifted to 2x2 blocks: rows
     i < rf carry A == 0 and rows i >= L-rf carry C == 0 by induction, so
     the sweep is unconditional (shifted diagonal blocks fill with the
     identity to stay invertible).
+
+    ``use_barrier=False`` drops the cross-sweep optimization_barrier for
+    contexts that control codegen themselves (the Pallas kernel — Mosaic
+    does not duplicate producers across sweeps the way XLA:CPU does).
     """
     L = r[0].shape[-1]
     if L & (L - 1):
@@ -94,7 +98,8 @@ def block_pcr_solve(A, B, C, r):
         # Stop cross-sweep fusion: without a barrier XLA's producer
         # duplication recomputes earlier sweeps inside later ones
         # (catastrophic on the CPU backend, ~100x).
-        A, B, C, r = jax.lax.optimization_barrier((A, B, C, r))
+        if use_barrier:
+            A, B, C, r = jax.lax.optimization_barrier((A, B, C, r))
         rf *= 2
     # Final 2x2-block pair solves between rows i and i+rf.
     def lo(M):

@@ -46,11 +46,12 @@ def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
     """SPMD chunk program: solve + fused likelihood.  Returns
     (P_chunk (num_exp, chunk), converged (chunk,)).
 
-    ``fast``: optional (fine_steps, coarse_stride) selecting the two-phase
-    solver (models/twophase.py).  ``obs_mask``: optional per-point weights
-    for experiments whose curves are shorter than the simulated horizon.
+    ``fast``: optional phase schedule ((stride, num_fine_steps), ...)
+    selecting the multi-phase fast solver (models/twophase.py).
+    ``obs_mask``: optional per-point weights for experiments whose curves
+    are shorter than the simulated horizon.
     """
-    from ..models.twophase import solve_two_phase
+    from ..models.twophase import solve_multiphase
 
     n0 = mat_nd[:, 0:1] + dn[None, :]
     p0 = mat_nd[:, 1:2] + dn[None, :]
@@ -58,7 +59,7 @@ def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
     obs = FusedObs(values=obs_values, log_scale=log_scale,
                    min_val=FLOAT_MIN, normalize=normalize, mask=obs_mask)
     if fast is not None:
-        res = solve_two_phase(mat_nd, n0, p0, e0, cfg, obs, fast[0], fast[1])
+        res = solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, fast)
     else:
         res = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
     if obs_mask is not None:
@@ -125,11 +126,29 @@ class ShardedRunner:
             out = np.zeros((num_exp, n))
         conv = np.ones(n, dtype=bool)
         n_chunks = -(-n // self.chunk)
+
+        def harvest(ci, ll, ok):
+            """Block on a dispatched chunk and fold it into the output."""
+            lo = ci * self.chunk
+            size = min(lo + self.chunk, n) - lo
+            ll = np.asarray(ll)                   # device sync point
+            ok = np.asarray(ok)
+            out[:, lo:lo + size] += ll[:, :size]
+            conv[lo:lo + size] = ok[:size]
+            if chunk_done is not None:
+                chunk_done(ci, ll[:, :size])
+
+        # Double-buffered dispatch: chunk ci+1's host prep and shard
+        # placement overlap chunk ci's device execution (jax dispatch is
+        # async; np.asarray in harvest is the only sync point).  The
+        # reference runs strictly serial H2D -> kernel -> D2H per launch
+        # (bayeslib.py:131-146).
+        pending = None
+        t0 = time.perf_counter()
         for ci in range(start_chunk, n_chunks):
             lo = ci * self.chunk
             hi = min(lo + self.chunk, n)
-            size = hi - lo
-            pad = self.chunk - size
+            pad = self.chunk - (hi - lo)
             mat_c = mat_nd_all[lo:hi]
             mag_c = mag_all[lo:hi]
             if pad:
@@ -137,15 +156,16 @@ class ShardedRunner:
                 mag_c = np.concatenate([mag_c, np.repeat(mag_c[-1:], pad, 0)], 0)
             if progress is not None:
                 progress(ci, n_chunks)
-            t0 = time.perf_counter()
-            ll, ok = _chunk_likelihood(
-                self._shard(mat_c, dtype), self._shard(mag_c, dtype),
-                dn, obs_rep, log_scale, cfg, normalize, fast, mask_rep)
-            ll = np.asarray(ll)
-            ok = np.asarray(ok)
-            self.timers.solver_time += time.perf_counter() - t0
-            out[:, lo:hi] += ll[:, :size]
-            conv[lo:hi] = ok[:size]
-            if chunk_done is not None:
-                chunk_done(ci, ll[:, :size])
+            # Step annotation: chunks show up as named steps in
+            # jax.profiler traces (enabled via DeviceConfig.profile_dir).
+            with jax.profiler.StepTraceAnnotation("chunk", step_num=ci):
+                ll, ok = _chunk_likelihood(
+                    self._shard(mat_c, dtype), self._shard(mag_c, dtype),
+                    dn, obs_rep, log_scale, cfg, normalize, fast, mask_rep)
+            if pending is not None:
+                harvest(*pending)
+            pending = (ci, ll, ok)
+        if pending is not None:
+            harvest(*pending)
+        self.timers.solver_time += time.perf_counter() - t0
         return out, conv

@@ -75,22 +75,17 @@ def plan_fused_horizon(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int
         if len(times) > sim.T + 1 or not is_uniform_prefix(times, sim.dt):
             return None
         lengths.append(len(times))
-    T_c = max(lengths) - 1
-    # Pad the horizon so the two-phase split stays valid.
-    fast = sim.fast_phases
-    if fast is not None:
-        T1, S = fast
-        if T_c <= T1:
-            fast = None
-        else:
-            while (T_c - T1) % S:
-                T_c += 1
-    T_c = min(T_c, sim.T) if fast is None else T_c
+    # The multi-phase schedule folds any sub-stride remainder into the fine
+    # phase (twophase.geometric_schedule), so the shortened horizon needs no
+    # padding; SimParams.fast_phases degrades to None on short horizons.
+    T_c = min(max(lengths) - 1, sim.T)
     sim_c = SimParams(length=sim.length, time=T_c * sim.dt, L=sim.L, T=T_c,
                       pl_stride=1, tol_exp=sim.tol_exp, max_iters=sim.max_iters,
                       method=sim.method,
-                      fast_fine_steps=None if fast is None else fast[0],
-                      fast_coarse_stride=sim.fast_coarse_stride)
+                      fast_fine_steps=sim.fast_fine_steps,
+                      fast_coarse_stride=sim.fast_coarse_stride,
+                      fast_max_stride=sim.fast_max_stride,
+                      fast_steps_per_phase=sim.fast_steps_per_phase)
     n = T_c + 1
     values = np.zeros((num_exp, n))
     need_mask = any(l != n for l in lengths)
@@ -110,7 +105,9 @@ def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> 
                      pl_stride=g.pl_stride, tol_exp=g.tol_exp,
                      max_iters=g.max_iters, method=g.method,
                      fast_fine_steps=g.fast_fine_steps,
-                     fast_coarse_stride=g.fast_coarse_stride)
+                     fast_coarse_stride=g.fast_coarse_stride,
+                     fast_max_stride=g.fast_max_stride,
+                     fast_steps_per_phase=g.fast_steps_per_phase)
 
 
 def _resolve_dtype(name: str):
@@ -170,24 +167,30 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
         else:
             if logger:
                 logger.info("Observation times off-grid: interpolating likelihood")
-            _simulate_interp(cfg, sim, e_data, init_params[ic_num], ic_num,
-                             X, P, runner, dtype, logger)
-            conv = np.ones(len(X), dtype=bool)
+            conv = _simulate_interp(cfg, sim, e_data, init_params[ic_num],
+                                    ic_num, X, P, runner, dtype, logger,
+                                    chunk_done=_ckpt_chunk,
+                                    start_chunk=first_chunk)
         conv_all &= conv
     P[:, ~conv_all] = np.nan
     return conv_all
 
 
-def _simulate_interp(cfg, sim, e_data, ini_par, ic_num, X, P, runner, dtype, logger):
+def _simulate_interp(cfg, sim, e_data, ini_par, ic_num, X, P, runner, dtype,
+                     logger, chunk_done=None, start_chunk=0):
     """Unfused path: materialize PL per chunk, log it, interpolate onto each
-    experiment's time grid, and reduce (reference: bayeslib.py:150-201)."""
+    experiment's time grid, and reduce (reference: bayeslib.py:150-201).
+    Checkpoints after each completed chunk exactly like the fused path."""
     import jax.numpy as jnp
     from .models.driver import pvsim
 
     num_exp = len(e_data)
     chunk = runner.chunk
     sim_times = sim.pl_times
-    for lo in range(0, len(X), chunk):
+    conv = np.ones(len(X), dtype=bool)
+    n_chunks = -(-len(X) // chunk)
+    for ci in range(start_chunk, n_chunks):
+        lo = ci * chunk
         hi = min(lo + chunk, len(X))
         t0 = time.perf_counter()
         res = pvsim(X[lo:hi, :12], sim, ini_par, init_mode="points", dtype=dtype)
@@ -214,6 +217,10 @@ def _simulate_interp(cfg, sim, e_data, ini_par, ic_num, X, P, runner, dtype, log
         pnc = ~np.asarray(res.converged)
         if pnc.any():
             P[:, lo:hi][:, pnc] = np.nan
+        conv[lo:hi] = ~pnc
+        if chunk_done is not None:
+            chunk_done(ci, None)
+    return conv
 
 
 def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
@@ -266,8 +273,19 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     if ckpt is not None and not resumed:
         ckpt.init(X, num_exp, len(init_params), runner.chunk)
 
-    simulate(cfg, e_data, init_params, X, P, runner, logger=logger,
-             ckpt=ckpt, start=start)
+    profiling = bool(cfg.device.profile_dir)
+    if profiling:
+        import jax
+        jax.profiler.start_trace(cfg.device.profile_dir)
+    try:
+        simulate(cfg, e_data, init_params, X, P, runner, logger=logger,
+                 ckpt=ckpt, start=start)
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+            if logger:
+                logger.info("jax.profiler trace written to %s",
+                            cfg.device.profile_dir)
 
     X_user = X / physics.UNIT_CONVERSIONS
     for i, out_dir in enumerate(cfg.paths.out_dirs):

@@ -48,6 +48,11 @@ class PosteriorData:
         Xmat = np.asarray(Xmat, dtype=float)
         keep = ~np.isnan(LL)                # NaN filter (utils.py:33-38)
         LL, Xmat = LL[keep], Xmat[keep]
+        if len(LL) == 0:
+            raise ValueError(
+                "no finite log-likelihoods in result (all samples filtered "
+                "as NaN — every sample failed to converge; check the solver "
+                "tolerance against the precision floor, docs/PRECISION.md)")
         self.LL = LL
         self.X = {p: Xmat[:, i] for i, p in enumerate(PRIMARY_PARAMS[:Xmat.shape[1]])}
         return self

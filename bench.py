@@ -8,7 +8,9 @@ material parameters from the production box (parallel_bayes_gpu.py:91-92).
 Runs on whatever accelerator is attached (one TPU chip here); prints ONE
 JSON line.  vs_baseline compares the measured whole-run rate, scaled to a
 v5e-8 (x num_devices_assumed), against the 1e5 sims/min north star from
-BASELINE.md.
+BASELINE.md.  The line also records the reference-equivalent fixed-dt
+("exact") throughput measured in the same session, unless BENCH_SKIP_EXACT
+is set.
 """
 import json
 import os
@@ -23,6 +25,60 @@ BASELINE_SIMS_PER_MIN_V5E8 = 1.0e5
 V5E8_CHIPS = 8
 
 
+def _measure(fn, *args):
+    """Compile + warm, then time one run; returns elapsed seconds."""
+    import jax
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    return time.perf_counter() - t0
+
+
+def _measure_e2e(n_samples, T, method):
+    """Wall-clock a full bayes() inference run (sampling, nondim, shard
+    placement, double-buffered solve, export) on synthesized observations
+    (BASELINE.md row 3).  Returns (seconds, sims/min)."""
+    import tempfile
+
+    import numpy as np
+    from bayesian_inference_trpl_tpu.config import (
+        DeviceConfig, GridConfig, IcFlags, InferenceConfig, ParamSpace,
+        Paths, SimFlags)
+    from bayesian_inference_trpl_tpu.models.driver import SimParams
+    from bayesian_inference_trpl_tpu.pipeline import bayes
+
+    sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T)
+    with tempfile.TemporaryDirectory() as td:
+        times = sim.pl_times
+        pl = 1e-3 * np.exp(-times / 200.0)        # synthetic decay curve
+        obs_path = os.path.join(td, "obs.csv")
+        exc_path = os.path.join(td, "exc.csv")
+        with open(obs_path, "w") as f:
+            for t, p in zip(times, pl):
+                f.write(f"{t},{p / 1e-23:.8e},1e13\n")
+            f.write("END,,\n")
+        with open(exc_path, "w") as f:
+            prof = 1e18 / 1e7 ** 3 * np.exp(-np.arange(128) * sim.dx / 100.0)
+            f.write(",".join(f"{v / 1e-21:.8e}" for v in prof) + "\n")
+        cfg = InferenceConfig(
+            grid=GridConfig(thickness=311.0, time=sim.time, num_nodes=128,
+                            num_steps=T, pl_stride=1, tol_exp=4.0,
+                            max_iters=8, method=method,
+                            fast_fine_steps=min(2048, T // 2),
+                            fast_coarse_stride=8),
+            params=ParamSpace(),
+            ic_flags=IcFlags(time_cutoff=None),
+            sim_flags=SimFlags(num_points=n_samples, seed=42),
+            device=DeviceConfig(chunk_per_device=1024, dtype="float32"),
+            paths=Paths(init_file=exc_path, observation_files=[obs_path],
+                        out_dirs=[os.path.join(td, "OUT")]),
+            checkpoint=False)
+        t0 = time.perf_counter()
+        bayes(cfg)
+        elapsed = time.perf_counter() - t0
+    return elapsed, n_samples * (T / 80000.0) / elapsed * 60.0
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -31,17 +87,21 @@ def main():
         SimParams, initial_excess_density, pl_log_scale)
     from bayesian_inference_trpl_tpu.models.solver import (
         FusedObs, SolverConfig, solve)
+    from bayesian_inference_trpl_tpu.models.twophase import (
+        geometric_schedule, solve_multiphase)
 
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     T = int(os.environ.get("BENCH_T", "80000"))
-    # Two-phase fast solver (see models/twophase.py): fine dt through the
-    # stiff transient, 8x-coarse BDF steps with dense log-PL output after.
-    # BENCH_MODE=exact forces reference-equivalent fixed-dt stepping.
-    fast_mode = os.environ.get("BENCH_MODE", "fast") != "exact"
+    # Multi-phase fast solver (see models/twophase.py): fine dt through the
+    # stiff transient, then a geometric stride ladder with dense log-PL
+    # output.  BENCH_MODE=exact makes reference-equivalent fixed-dt stepping
+    # the headline number instead.
+    headline_fast = os.environ.get("BENCH_MODE", "fast") != "exact"
     fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "2048")))
     stride = int(os.environ.get("BENCH_STRIDE", "8"))
-    while (T - fine_steps) % stride:
-        fine_steps += 1
+    max_stride = int(os.environ.get("BENCH_MAX_STRIDE", "64"))
+    steps_per_phase = int(os.environ.get("BENCH_STEPS_PER_PHASE", "1024"))
+    skip_exact = bool(int(os.environ.get("BENCH_SKIP_EXACT", "0")))
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
@@ -66,39 +126,75 @@ def main():
     obs = FusedObs(values=obs_curve,
                    log_scale=jnp.asarray(pl_log_scale(sim), dtype),
                    min_val=1e-30)
+    # The fused Pallas Newton kernel is the production TPU path (~1.3x the
+    # XLA op-chain); BENCH_METHOD overrides for A/B runs.
+    method = os.environ.get(
+        "BENCH_METHOD",
+        "coupled_newton_pallas" if jax.default_backend() == "tpu"
+        else "coupled_newton")
     cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=6,
-                       method="coupled_newton")
-
-    from bayesian_inference_trpl_tpu.models.twophase import solve_two_phase
+                       method=method)
+    schedule = geometric_schedule(T, fine_steps, base_stride=stride,
+                                  coarse_steps_per_phase=steps_per_phase,
+                                  max_stride=max_stride)
 
     @jax.jit
-    def run(mat_nd, dn):
+    def run_fast(mat_nd, dn):
         n0 = mat_nd[:, 0:1] + dn[None, :]
         p0 = mat_nd[:, 1:2] + dn[None, :]
-        if fast_mode:
-            r = solve_two_phase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
-                                fine_steps, stride)
-        else:
-            r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
-                      record_pl=False)
+        r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
+                             schedule)
         return r.sse, r.err_sum, r.converged
 
-    out = jax.block_until_ready(run(mat_nd, dn))  # compile + warm
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(run(mat_nd, dn))
-    elapsed = time.perf_counter() - t0
+    @jax.jit
+    def run_exact(mat_nd, dn):
+        n0 = mat_nd[:, 0:1] + dn[None, :]
+        p0 = mat_nd[:, 1:2] + dn[None, :]
+        r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+        return r.sse, r.err_sum, r.converged
 
     sims = batch * (T / 80000.0)
-    per_min_chip = sims / elapsed * 60.0
+    fast_per_min = sims / _measure(run_fast, mat_nd, dn) * 60.0
+    exact_per_min = None
+    if not skip_exact or not headline_fast:
+        # Exact (fixed-dt) stepping is ~8x the work; measure on a reduced
+        # batch to bound bench wall-clock, normalizing to sims/min.
+        eb = int(os.environ.get("BENCH_EXACT_BATCH", str(max(batch // 4, 1))))
+        e_sims = eb * (T / 80000.0)
+        exact_per_min = e_sims / _measure(
+            run_exact, mat_nd[:eb], dn) * 60.0
+
+    e2e_samples = int(os.environ.get("BENCH_E2E_SAMPLES", "32768"))
+    e2e = None
+    if e2e_samples:
+        e2e = _measure_e2e(e2e_samples, T, method)
+
+    per_min_chip = fast_per_min if headline_fast else exact_per_min
     per_min_v5e8 = per_min_chip * V5E8_CHIPS
-    print(json.dumps({
+    total_steps = sum(n // s for s, n in schedule)
+    out = {
         "metric": "trpl_full_sims_per_min_v5e8_projected",
         "value": round(per_min_v5e8, 1),
         "unit": "sims/min (80k-step L=128 sim + fused likelihood; "
-                f"measured {round(per_min_chip,1)}/min on "
+                f"measured {round(per_min_chip, 1)}/min on "
                 f"{jax.devices()[0].platform}x1, x{V5E8_CHIPS} chips)",
         "vs_baseline": round(per_min_v5e8 / BASELINE_SIMS_PER_MIN_V5E8, 3),
-    }))
+        "fast_sims_per_min_chip": round(fast_per_min, 1),
+        "schedule": [[s, n] for s, n in schedule],
+        "solver_steps": total_steps,
+    }
+    if exact_per_min is not None:
+        out["exact_sims_per_min_chip"] = round(exact_per_min, 1)
+        out["exact_sims_per_min_v5e8_projected"] = round(
+            exact_per_min * V5E8_CHIPS, 1)
+    if e2e is not None:
+        # Whole bayes() run: sampling, IO, nondim, sharding, double-buffered
+        # solve, export (BASELINE.md row 3).
+        out["e2e_wallclock_s"] = round(e2e[0], 1)
+        out["e2e_samples"] = e2e_samples
+        out["e2e_sims_per_min_chip"] = round(e2e[1], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

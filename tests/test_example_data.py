@@ -57,6 +57,7 @@ def test_plan_fused_horizon_detects_prefix_grids(tmp_path):
     assert values.shape[0] == 3
 
 
+@pytest.mark.slow
 def test_example_data_end_to_end(tmp_path):
     cfg = _cfg(tmp_path)
     P, X, info = bayes(cfg)
@@ -71,6 +72,7 @@ def test_example_data_end_to_end(tmp_path):
         np.testing.assert_allclose(P2, P[i])
 
 
+@pytest.mark.slow
 def test_masked_vs_unmasked_consistency(tmp_path):
     """Scoring each experiment alone (unmasked horizons) must equal the
     jointly-masked multi-experiment run."""

@@ -157,3 +157,39 @@ def test_checkpoint_resume(synthetic, monkeypatch):
     P_res, X_res, _ = bayes(cfg)
     np.testing.assert_allclose(X_res, X_full)
     np.testing.assert_allclose(P_res, P_full, rtol=1e-12, atol=1e-12)
+
+
+def test_checkpoint_resume_interp(tmp_path, monkeypatch):
+    """Preemption mid-curve on the interpolating (off-grid) path: the
+    resumed run must pick up at the interrupted chunk and reproduce an
+    uninterrupted run exactly."""
+    from bayesian_inference_trpl_tpu.models import driver as drv
+
+    obs_times = np.linspace(0.0, TIME, 11)
+    obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=2)
+    cfg_ref = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg_ref.paths.out_dirs = [str(tmp_path / "IREF")]
+    cfg_ref.checkpoint = True
+    P_full, X_full, _ = bayes(cfg_ref)
+
+    cfg = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg.paths.out_dirs = [str(tmp_path / "ICKPT")]
+    cfg.checkpoint = True
+    calls = {"n": 0}
+    orig = drv.pvsim
+
+    def interrupting(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:    # second chunk of curve 0
+            raise KeyboardInterrupt("simulated preemption mid-interp")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(drv, "pvsim", interrupting)
+    with pytest.raises(KeyboardInterrupt):
+        bayes(cfg)
+    monkeypatch.setattr(drv, "pvsim", orig)
+
+    cfg.resume = True
+    P_res, X_res, _ = bayes(cfg)
+    np.testing.assert_allclose(X_res, X_full)
+    np.testing.assert_allclose(P_res, P_full, rtol=1e-12, atol=1e-12)

@@ -47,18 +47,25 @@ def test_converges(parity_run):
 def test_pl_and_state_match_oracle(parity_run):
     mat, sim, init_dn, res = parity_run
     pl = np.asarray(res.pl)
-    n_f, p_f, _ = redim_state(res, sim)
+    n_f, p_f, e_f = redim_state(res, sim)
     for i in range(len(mat)):
-        _, N, P, _, plo = solve_oracle(mat[i], sim.length, sim.time, sim.L,
+        _, N, P, E, plo = solve_oracle(mat[i], sim.length, sim.time, sim.L,
                                        sim.num_pl, init_dn,
                                        rtol=1e-10, atol=1e-16, max_step=0.1)
         rel_pl = np.linalg.norm(pl[i] - plo) / np.linalg.norm(plo)
         rel_n = np.linalg.norm(np.asarray(n_f[i]) - N[:, -1]) / np.linalg.norm(N[:, -1])
         rel_p = np.linalg.norm(np.asarray(p_f[i]) - P[:, -1]) / np.linalg.norm(P[:, -1])
+        # The solver stores E on edges 0..L-1 (edge 0 pinned to zero, edge L
+        # implicit); the oracle integrates L+1 edges — compare the interior.
+        rel_e = (np.linalg.norm(np.asarray(e_f[i][1:]) - E[1:sim.L, -1])
+                 / np.linalg.norm(E[1:sim.L, -1]))
         # dt-discretization level at dt=0.025 on the stiff early transient.
         assert rel_pl < 5e-3, f"sample {i}: PL rel {rel_pl}"
         assert rel_n < 1e-3, f"sample {i}: N rel {rel_n}"
         assert rel_p < 1e-3, f"sample {i}: P rel {rel_p}"
+        # E converges ~O(dt^0.7) and is the loosest field in the reference's
+        # own harness too (docs/PRECISION.md) — tracked at a loose tolerance.
+        assert rel_e < 5e-2, f"sample {i}: E rel {rel_e}"
 
 
 def test_pl_t0_exact(parity_run):

@@ -9,7 +9,8 @@ from bayesian_inference_trpl_tpu.models.driver import (
     SimParams, initial_excess_density, pl_log_scale)
 from bayesian_inference_trpl_tpu.models.solver import FusedObs, SolverConfig, solve
 from bayesian_inference_trpl_tpu.models.twophase import (
-    _lagrange_weight_table, rescale_dt, solve_two_phase)
+    _lagrange_weight_table, geometric_schedule, rescale_dt, solve_multiphase,
+    solve_two_phase)
 
 from conftest import sample_mat_par
 
@@ -94,3 +95,49 @@ def test_two_phase_shape_validation(problem):
     with pytest.raises(ValueError):
         solve_two_phase(mat_nd, n0, p0, e0, cfg, obs,
                         fine_steps=111, coarse_stride=8)  # (240-111) % 8 != 0
+
+
+def test_geometric_schedule_covers_horizon():
+    # Production shape: ladder 8 -> 16 -> 32 -> 64, final phase absorbs rest.
+    sched = geometric_schedule(80000, 2048, base_stride=8, growth=2,
+                               coarse_steps_per_phase=1024, max_stride=64)
+    assert sched[0][0] == 1
+    assert [s for s, _ in sched] == [1, 8, 16, 32, 64]
+    assert sum(n for _, n in sched) == 80000
+    assert all(n % s == 0 for s, n in sched)
+    # Leftover folding: a horizon that is not stride-aligned still sums.
+    sched = geometric_schedule(80001, 2048, base_stride=8, max_stride=64)
+    assert sum(n for _, n in sched) == 80001
+    assert all(n % s == 0 for s, n in sched)
+    # Short horizons degrade to a single fine phase.
+    assert geometric_schedule(100, 2048) == ((1, 100),)
+    assert geometric_schedule(2053, 2048, base_stride=8) == ((1, 2053),)
+
+
+def test_multiphase_matches_single_phase(problem):
+    """The stride ladder must agree with reference-equivalent stepping at
+    the same fidelity as the plain two-phase split."""
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    r_fine = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
+    sched = ((1, 112), (8, 32), (16, 64), (32, 32))
+    r_m = solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, sched)
+    assert np.asarray(r_m.converged).all()
+    n_obs = sim.num_pl
+    rms_dev = np.sqrt(np.asarray(r_m.sse)[0, 0] / n_obs)
+    assert rms_dev < 5e-5, rms_dev
+    sse_f = np.asarray(r_fine.sse)[0, 1]
+    sse_m = np.asarray(r_m.sse)[0, 1]
+    assert abs(sse_m - sse_f) / max(sse_f, 1.0) < 1e-3
+    es_f = np.asarray(r_fine.err_sum)[0, 1]
+    es_m = np.asarray(r_m.err_sum)[0, 1]
+    assert abs(es_m - es_f) < 0.05
+
+
+def test_multiphase_schedule_validation(problem):
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    with pytest.raises(ValueError):   # does not sum to T
+        solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, ((1, 112), (8, 64)))
+    with pytest.raises(ValueError):   # phase not divisible by stride
+        solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, ((1, 113), (8, 127)))
+    with pytest.raises(ValueError):   # missing fine phase
+        solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, ((8, 240),))
