@@ -33,7 +33,10 @@ class GridConfig:
     pl_stride: int = 1                             # plT
     tol_exp: float = 7.0
     max_iters: int = 10000
-    method: str = "coupled_newton"      # or "gauss_seidel" (reference scheme)
+    method: str = "coupled_newton"      # or "gauss_seidel" (reference scheme) |
+    #                                     "coupled_newton_pallas" (fused TPU kernel)
+    predictor: str = "previous"         # "linear": extrapolated Newton start
+    step_tol: float = 0.0               # state-settled acceptance; 0 = off
     # Multi-phase fast solver (models/twophase.py): fine steps through the
     # transient, then geometrically coarser phases (stride 8 -> 16 -> ...
     # capped at fast_max_stride) with dense log-PL output.  None = single

@@ -32,6 +32,9 @@ class SimParams:
     tol_exp: float = 7.0   # convergence tolerance exponent (TOL = 10^-tol_exp)
     max_iters: int = 10000
     method: str = "coupled_newton"
+    predictor: str = "previous"   # "previous" (reference) | "linear" (1 Newton
+    #                               iter/step on smooth stretches; same fixed point)
+    step_tol: float = 0.0         # state-settled acceptance (f32 floor); 0 = off
     fast_fine_steps: Optional[int] = None   # fast-solver switch point
     fast_coarse_stride: int = 8             # base stride of the ladder
     fast_max_stride: int = 64               # stride cap (8 -> 16 -> ... cap)
@@ -57,7 +60,9 @@ class SimParams:
         return SolverConfig(
             num_steps=self.T, pl_stride=self.pl_stride,
             tol=10.0 ** (-self.tol_exp), max_iters=self.max_iters,
-            record_state_stride=record_state_stride, method=self.method)
+            record_state_stride=record_state_stride, method=self.method,
+            predictor=self.predictor,
+            step_tol=self.step_tol if self.step_tol > 0 else None)
 
     @property
     def fast_phases(self):

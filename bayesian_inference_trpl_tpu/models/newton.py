@@ -177,10 +177,15 @@ def _reference_denominators(Nk, Pk, bN, bP, aux):
 
 
 def coupled_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
-                        max_iters: int):
+                        max_iters: int, step_tol=0.0):
     """Advance one BDF step by damped-free exact Newton on the coupled
     system.  Same signature/semantics as trpl.implicit_step; Ek0 is ignored
     (E is a function of N, P) but accepted for interface parity.
+
+    ``step_tol``: additional state-settled acceptance — a sample is also
+    converged when max|dN| <= step_tol*max|N| (and same for P).  In f32 the
+    relative-residual metric can stall at the rounding floor while the
+    Newton update has shrunk to nothing; 0 disables (reference semantics).
 
     Returns (N, P, E, iters, converged) with iters the (batch,) per-sample
     count of Newton updates actually applied.
@@ -205,7 +210,12 @@ def coupled_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
         Nk = jnp.where(upd[:, None], Nk + dN, Nk)
         Pk = jnp.where(upd[:, None], Pk + dP, Pk)
         its = its + upd.astype(jnp.int32)
-        done = done | ((err_n < tol) & (err_p < tol))
+        ok_res = (err_n < tol) & (err_p < tol)
+        ok_step = (jnp.max(jnp.abs(dN), axis=-1)
+                   <= step_tol * jnp.max(jnp.abs(Nk), axis=-1)) & \
+                  (jnp.max(jnp.abs(dP), axis=-1)
+                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1))
+        done = done | ok_res | ok_step
         return Nk, Pk, done, its, it + 1
 
     Nk, Pk, done, its, _ = jax.lax.while_loop(

@@ -35,6 +35,11 @@ class SolverConfig(NamedTuple):
     pl_stride: int = 1             # plT: record PL every pl_stride steps
     tol: float = 1e-7              # Newton convergence tolerance (10^-tol_exp)
     max_iters: int = 10000         # Newton iteration cap per step
+    step_tol: Optional[float] = None  # also accept max|dX| <= step_tol*max|X|
+    #                                   (f32: the relative-residual metric can
+    #                                   stall at the rounding floor while the
+    #                                   state has stopped changing; None = off,
+    #                                   reference semantics)
     record_state_stride: Optional[int] = None  # emit (N, P, E) snapshots
     record_iters: bool = False     # emit per-outer-step Newton iteration counts
     predictor: str = "previous"    # "previous" (reference) | "linear" extrapolation
@@ -144,8 +149,10 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
                             interpret=jax.default_backend() != "tpu")
     else:
         step_impl = coupled_newton_step
+    step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
     Nn, Pn, En, iters, ok = step_impl(
-        Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters)
+        Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters,
+        step_tol=jnp.asarray(step_tol, dtype))
     nh = jax.lax.dynamic_update_index_in_dim(nh, Nn, kp, 0)
     ph = jax.lax.dynamic_update_index_in_dim(ph, Pn, kp, 0)
     eh = jax.lax.dynamic_update_index_in_dim(eh, En, kp, 0)

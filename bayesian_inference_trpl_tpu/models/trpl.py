@@ -191,7 +191,8 @@ def newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp: MatParams, a0):
     return Nk1, Pk1, Ek1, err_n, err_p
 
 
-def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol, max_iters: int):
+def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
+                  max_iters: int, step_tol=0.0):
     """Advance one BDF step with a per-sample masked Newton fixed-point loop.
 
     Replaces the reference's all-or-nothing block convergence and global
@@ -199,7 +200,9 @@ def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol, max_iters: 
     convergence: a sample freezes once its pre-solve residuals pass ``tol``
     (identical semantics to the reference at max_sims_per_block=1), and
     non-convergence is surfaced as a per-sample flag instead of a kernel-wide
-    abort.
+    abort.  ``step_tol`` adds state-settled acceptance
+    (max|dX| <= step_tol*max|X|) for f32 runs where the relative-residual
+    metric stalls at the rounding floor; 0 disables (reference semantics).
 
     Returns (N, P, E, iters, converged) with iters the (batch,) per-sample
     count of Newton updates actually applied (convergence diagnostics the
@@ -216,12 +219,16 @@ def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol, max_iters: 
     def body(carry):
         Nk, Pk, Ek, done, its, it = carry
         Nk1, Pk1, Ek1, err_n, err_p = newton_iteration(Nk, Pk, Ek, bN, bP, bE, mp, a0)
+        ok_step = (jnp.max(jnp.abs(Nk1 - Nk), axis=-1)
+                   <= step_tol * jnp.max(jnp.abs(Nk1), axis=-1)) & \
+                  (jnp.max(jnp.abs(Pk1 - Pk), axis=-1)
+                   <= step_tol * jnp.max(jnp.abs(Pk1), axis=-1))
         upd = jnp.logical_not(done)
         Nk = jnp.where(upd[:, None], Nk1, Nk)
         Pk = jnp.where(upd[:, None], Pk1, Pk)
         Ek = jnp.where(upd[:, None], Ek1, Ek)
         its = its + upd.astype(jnp.int32)
-        done = done | ((err_n < tol) & (err_p < tol))
+        done = done | ((err_n < tol) & (err_p < tol)) | ok_step
         return Nk, Pk, Ek, done, its, it + 1
 
     Nk, Pk, Ek, done, its, _ = jax.lax.while_loop(

@@ -33,7 +33,8 @@ SAMPLE_TILE = 256          # samples per kernel instance (sublane dim)
 
 
 def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
-            n_out, p_out, e_out, its_out, done_out, *, max_iters: int):
+            stol_ref, n_out, p_out, e_out, its_out, done_out, *,
+            max_iters: int):
     # Import inside the kernel module scope to avoid a circular import at
     # package load (models.newton imports ops.block_tridiag which sits next
     # to this package).
@@ -44,6 +45,7 @@ def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
     mp = MatParams(*(mat_ref[i, :] for i in range(12)))
     a0 = a0_ref[0, 0]
     tol = tol_ref[0, 0]
+    step_tol = stol_ref[0, 0]
     bN, bP, bE = bn_ref[:], bp_ref[:], be_ref[:]
     tile = n_ref.shape[0]
 
@@ -70,8 +72,16 @@ def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
         Nk = Nk + upd * dN
         Pk = Pk + upd * dP
         its = its + upd
+        # State-settled acceptance alongside the residual criterion (f32:
+        # the relative residual stalls at the rounding floor while the
+        # Newton update has shrunk to nothing); step_tol == 0 disables.
+        ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
+                   <= step_tol * jnp.max(jnp.abs(Nk), axis=-1, keepdims=True)) & \
+                  (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
+                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1, keepdims=True))
         ok = jnp.broadcast_to(
-            ((err_n < tol) & (err_p < tol)).astype(done.dtype), done.shape)
+            (((err_n < tol) & (err_p < tol)) | ok_step).astype(done.dtype),
+            done.shape)
         done = jnp.maximum(done, ok)
         return Nk, Pk, done, its, it + 1
 
@@ -91,7 +101,7 @@ def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
-def _call(mat_t, Nk0, Pk0, bN, bP, bE, a0, tol, max_iters, interpret):
+def _call(mat_t, Nk0, Pk0, bN, bP, bE, a0, tol, stol, max_iters, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,11 +138,11 @@ def _call(mat_t, Nk0, Pk0, bN, bP, bE, a0, tol, max_iters, interpret):
         functools.partial(_kernel, max_iters=max_iters),
         grid=grid,
         in_specs=[mat_spec, field_spec, field_spec, field_spec, field_spec,
-                  field_spec, scalar_spec, scalar_spec],
+                  field_spec, scalar_spec, scalar_spec, scalar_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(mat_t, Nk0, Pk0, bN, bP, bE, a0, tol)
+    )(mat_t, Nk0, Pk0, bN, bP, bE, a0, tol, stol)
 
 
 def _pad_to(x, n, axis=0):
@@ -144,7 +154,7 @@ def _pad_to(x, n, axis=0):
 
 
 def pallas_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp, a0, tol,
-                       max_iters: int, interpret: bool = False):
+                       max_iters: int, step_tol=0.0, interpret: bool = False):
     """Drop-in replacement for models.newton.coupled_newton_step backed by
     the fused Pallas kernel.  Ek0 is accepted for interface parity (E is a
     function of N, P in the eliminated system).
@@ -162,11 +172,12 @@ def pallas_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp, a0, tol,
     mat_t = jnp.stack(tuple(mp))                # (12, batch)
     a0v = jnp.asarray(a0, Nk0.dtype).reshape(1, 1)
     tolv = jnp.asarray(tol, Nk0.dtype).reshape(1, 1)
+    stolv = jnp.asarray(step_tol, Nk0.dtype).reshape(1, 1)
     if padded != batch:
         mat_t = _pad_to(mat_t, padded, axis=1)
         Nk0, Pk0, bN, bP, bE = (
             _pad_to(x, padded) for x in (Nk0, Pk0, bN, bP, bE))
-    n, p, e, its, done = _call(mat_t, Nk0, Pk0, bN, bP, bE, a0v, tolv,
+    n, p, e, its, done = _call(mat_t, Nk0, Pk0, bN, bP, bE, a0v, tolv, stolv,
                                int(max_iters), bool(interpret))
     n, p, e = n[:batch], p[:batch], e[:batch]
     its = its[:batch, 0]

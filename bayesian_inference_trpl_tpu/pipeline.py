@@ -81,7 +81,8 @@ def plan_fused_horizon(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int
     T_c = min(max(lengths) - 1, sim.T)
     sim_c = SimParams(length=sim.length, time=T_c * sim.dt, L=sim.L, T=T_c,
                       pl_stride=1, tol_exp=sim.tol_exp, max_iters=sim.max_iters,
-                      method=sim.method,
+                      method=sim.method, predictor=sim.predictor,
+                      step_tol=sim.step_tol,
                       fast_fine_steps=sim.fast_fine_steps,
                       fast_coarse_stride=sim.fast_coarse_stride,
                       fast_max_stride=sim.fast_max_stride,
@@ -104,6 +105,7 @@ def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> 
                      time=g.time, L=g.num_nodes, T=g.num_steps,
                      pl_stride=g.pl_stride, tol_exp=g.tol_exp,
                      max_iters=g.max_iters, method=g.method,
+                     predictor=g.predictor, step_tol=g.step_tol,
                      fast_fine_steps=g.fast_fine_steps,
                      fast_coarse_stride=g.fast_coarse_stride,
                      fast_max_stride=g.fast_max_stride,

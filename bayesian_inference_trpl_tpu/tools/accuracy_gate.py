@@ -111,8 +111,10 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=2048, base_stride=8,
                                   max_stride=max_stride)
     method = ("coupled_newton_pallas" if jax.default_backend() == "tpu"
               else "coupled_newton")
+    # The SHIPPED production configuration: linear predictor + stride ladder.
     cfg32 = SolverConfig(num_steps=T, pl_stride=1, tol=10.0 ** -tol_exp_fast,
-                         max_iters=8, method=method)
+                         max_iters=8, method=method, predictor="linear",
+                         step_tol=1e-6)
     t0 = time.perf_counter()
 
     @jax.jit

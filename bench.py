@@ -63,7 +63,8 @@ def _measure_e2e(n_samples, T, method):
         cfg = InferenceConfig(
             grid=GridConfig(thickness=311.0, time=sim.time, num_nodes=128,
                             num_steps=T, pl_stride=1, tol_exp=4.0,
-                            max_iters=8, method=method,
+                            max_iters=8, method=method, predictor="linear",
+                            step_tol=1e-6,
                             fast_fine_steps=min(2048, T // 2),
                             fast_coarse_stride=8),
             params=ParamSpace(),
@@ -132,8 +133,16 @@ def main():
         "BENCH_METHOD",
         "coupled_newton_pallas" if jax.default_backend() == "tpu"
         else "coupled_newton")
+    # Linear-extrapolation Newton predictor: ~1 iteration/step on smooth
+    # stretches vs 2 for the reference's previous-state start (same fixed
+    # point; gated by tools/accuracy_gate.py).
+    predictor = os.environ.get("BENCH_PREDICTOR", "linear")
+    # State-settled acceptance: in f32 the relative-residual metric stalls
+    # at the rounding floor on late decayed states; max|dX| <= 1e-6 max|X|
+    # also counts as converged (sse verified bitwise-identical vs off).
+    step_tol = float(os.environ.get("BENCH_STEP_TOL", "1e-6")) or None
     cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=6,
-                       method=method)
+                       method=method, predictor=predictor, step_tol=step_tol)
     schedule = geometric_schedule(T, fine_steps, base_stride=stride,
                                   coarse_steps_per_phase=steps_per_phase,
                                   max_stride=max_stride)
