@@ -123,9 +123,14 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
     """One BDF step on the rolling histories; shared by the single-phase
     solver below and the two-phase fast solver (models/twophase.py)."""
     a0, w = _bdf_coeffs(t, dtype)
-    bn = jnp.tensordot(w, nh, axes=1)
-    bp = jnp.tensordot(w, ph, axes=1)
-    be = jnp.tensordot(w, eh, axes=1)
+    # Broadcast multiply-sum rather than tensordot: XLA:TPU has been seen
+    # miscompiling tiny dots inside scans (twophase.py dense output; caught
+    # by tools/accuracy_gate.py) — the elementwise form lowers to plain VPU
+    # ops at identical cost.
+    wc = w[:, None, None]
+    bn = jnp.sum(wc * nh, axis=0)
+    bp = jnp.sum(wc * ph, axis=0)
+    be = jnp.sum(wc * eh, axis=0)
     k = jnp.mod(t, HISTORY)
     kp = jnp.mod(t + 1, HISTORY)
     Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)

@@ -25,7 +25,7 @@ columns of the parameter matrix rescale (rescale_dt).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -161,7 +161,12 @@ def _coarse_phase(mat_nd, n0, p0, e0, cfg: SolverConfig, obs: FusedObs,
         lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs_c, pl0_c)
         lp_win = jnp.concatenate([lp_win[1:], lp_new[None]], axis=0)
         W = wtab[jnp.minimum(c, 2)]                       # (S, 4)
-        lp_fine = jnp.tensordot(W, lp_win, axes=1)        # (S, batch)
+        # Broadcast multiply-sum, NOT tensordot/matmul: XLA:TPU miscompiles
+        # the tiny (S,4)x(4,batch) dot inside this scan (returns a constant
+        # per step — caught by tools/accuracy_gate.py at full scale; the
+        # identical dot traced outside the scan is fine).  The elementwise
+        # form lowers to plain VPU ops and is immune.
+        lp_fine = jnp.sum(W[:, :, None] * lp_win[None, :, :], axis=1)  # (S, batch)
         e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
         if mask_slice is not None:
             e = e * mask_slice[:, :, None]

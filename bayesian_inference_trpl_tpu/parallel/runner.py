@@ -11,7 +11,7 @@ and the final gather of (X, P) slices.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, Optional
 

