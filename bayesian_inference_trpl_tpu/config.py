@@ -44,7 +44,7 @@ class GridConfig:
     fast_fine_steps: Optional[int] = None
     fast_coarse_stride: int = 8
     fast_max_stride: int = 64
-    fast_steps_per_phase: int = 1024
+    fast_steps_per_phase: int = 512
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
         if isinstance(self.thickness, (list, tuple)):

@@ -38,7 +38,7 @@ class SimParams:
     fast_fine_steps: Optional[int] = None   # fast-solver switch point
     fast_coarse_stride: int = 8             # base stride of the ladder
     fast_max_stride: int = 64               # stride cap (8 -> 16 -> ... cap)
-    fast_steps_per_phase: int = 1024        # coarse steps per ladder rung
+    fast_steps_per_phase: int = 512         # coarse steps per ladder rung
 
     @property
     def dx(self) -> float:

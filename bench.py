@@ -65,8 +65,9 @@ def _measure_e2e(n_samples, T, method):
                             num_steps=T, pl_stride=1, tol_exp=4.0,
                             max_iters=8, method=method, predictor="linear",
                             step_tol=1e-6,
-                            fast_fine_steps=min(2048, T // 2),
-                            fast_coarse_stride=8),
+                            fast_fine_steps=min(1024, T // 2),
+                            fast_coarse_stride=8,
+                            fast_steps_per_phase=512),
             params=ParamSpace(),
             ic_flags=IcFlags(time_cutoff=None),
             sim_flags=SimFlags(num_points=n_samples, seed=42),
@@ -98,10 +99,10 @@ def main():
     # output.  BENCH_MODE=exact makes reference-equivalent fixed-dt stepping
     # the headline number instead.
     headline_fast = os.environ.get("BENCH_MODE", "fast") != "exact"
-    fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "2048")))
+    fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "1024")))
     stride = int(os.environ.get("BENCH_STRIDE", "8"))
     max_stride = int(os.environ.get("BENCH_MAX_STRIDE", "64"))
-    steps_per_phase = int(os.environ.get("BENCH_STEPS_PER_PHASE", "1024"))
+    steps_per_phase = int(os.environ.get("BENCH_STEPS_PER_PHASE", "512"))
     skip_exact = bool(int(os.environ.get("BENCH_SKIP_EXACT", "0")))
     dtype = jnp.float32
 
