@@ -142,8 +142,18 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
         # iterations than the reference's previous-state predictor.
         ko = jnp.mod(t - 1, HISTORY)
         ramp = jnp.minimum(t, 1).astype(nh.dtype)  # t=0 has no history
-        Nk = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
-        Pk = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
+        Nx = Nk + ramp * (Nk - jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False))
+        Px = Pk + ramp * (Pk - jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False))
+        # Positivity safeguard: on steep measured excitation profiles the
+        # first stiff steps change the small-density cells by O(100%), and
+        # extrapolation overshoots them negative — the undamped Newton then
+        # oscillates through the 1/(N tau_p + P tau_n) recombination term
+        # and the whole step fails (seen on the Power_scan high-power
+        # curves: conv 0 percent at step t=1).  Where the extrapolated
+        # carrier densities go non-positive, fall back to the previous
+        # state for that cell.
+        Nk = jnp.where(Nx > 0, Nx, Nk)
+        Pk = jnp.where(Px > 0, Px, Pk)
         Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
     if cfg.method == "gauss_seidel":
         step_impl = implicit_step

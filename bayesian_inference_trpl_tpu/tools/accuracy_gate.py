@@ -146,7 +146,8 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8,
+                    help="samples (default matches the bundled exact cache)")
     ap.add_argument("--T", type=int, default=80000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tol", type=float, default=5e-4,
@@ -171,8 +172,14 @@ def main(argv=None):
     import os
     import subprocess
     t_exact = None
+    # Bundled cache: the f64 exact run takes ~90 min on one CPU core, so
+    # the default (batch 8, T 80000, seed 0) curves ship with the repo.
+    bundled = os.path.join(os.path.dirname(__file__), "exact_cache",
+                           f"exact_T{args.T}_b{args.batch}_s{args.seed}.npz")
     if args.exact_file and os.path.exists(args.exact_file):
         lp64 = np.load(args.exact_file)
+    elif args.exact_file is None and os.path.exists(bundled):
+        lp64 = np.load(bundled)["lp64"]
     else:
         # The exact f64 path runs in a CPU-pinned subprocess: the axon TPU
         # session exposes no in-process CPU backend, and TPU f64 is
