@@ -45,6 +45,9 @@ class GridConfig:
     fast_coarse_stride: int = 8
     fast_max_stride: int = 64
     fast_steps_per_phase: int = 512
+    # Pad all fused curves to one shared horizon (masked) so multi-curve
+    # runs compile ONE chunk program instead of one per horizon.
+    bucket_horizons: bool = True
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
         if isinstance(self.thickness, (list, tuple)):

@@ -122,6 +122,54 @@ def _resolve_dtype(name: str):
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def bucket_horizons(plans, logger=None):
+    """Pad every fused curve plan to the run's longest horizon with
+    zero-weight masks so all curves share ONE compiled chunk program.
+
+    Different per-curve observation lengths otherwise force a recompile per
+    curve (the scan length is static); with three Power_scan curves the
+    compiles dominated end-to-end wall-clock ~4:1.  The padded steps carry
+    mask 0 and contribute nothing to the likelihood; per-curve thickness
+    stays a host-side (nondimensionalization) input, so the shared shapes
+    compile once.
+    """
+    fused = [p for p in plans if p is not None]
+    if len(fused) < 2:
+        return plans
+    T_shared = max(p[0].T for p in fused)
+    out = []
+    for p in plans:
+        if p is None:
+            out.append(None)
+            continue
+        sim_c, values, mask = p
+        if sim_c.T == T_shared and mask is not None:
+            out.append(p)
+            continue
+        # NOTE: every bucketed plan must carry a mask — a None-mask curve
+        # would trace a different chunk program and defeat the sharing.
+        n_old = values.shape[1]
+        n_new = T_shared + 1
+        v = np.zeros((values.shape[0], n_new))
+        v[:, :n_old] = values
+        m = np.zeros((values.shape[0], n_new))
+        m[:, :n_old] = 1.0 if mask is None else mask
+        sim_b = SimParams(
+            length=sim_c.length, time=T_shared * sim_c.dt, L=sim_c.L,
+            T=T_shared, pl_stride=1, tol_exp=sim_c.tol_exp,
+            max_iters=sim_c.max_iters, method=sim_c.method,
+            predictor=sim_c.predictor, step_tol=sim_c.step_tol,
+            fast_fine_steps=sim_c.fast_fine_steps,
+            fast_coarse_stride=sim_c.fast_coarse_stride,
+            fast_max_stride=sim_c.fast_max_stride,
+            fast_steps_per_phase=sim_c.fast_steps_per_phase)
+        if logger and sim_c.T != T_shared:
+            logger.info("Bucketing curve horizon %d -> %d steps (masked)",
+                        sim_c.T, T_shared)
+        out.append((sim_b, v, m))
+    return out
+
+
 def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
              runner: ShardedRunner, logger=None,
              ckpt: Optional[CheckpointManager] = None, start=(0, 0)):
@@ -136,12 +184,17 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
     conv_all = np.ones(len(X), dtype=bool)
     start_curve, start_chunk = start
 
+    plans = [plan_fused_horizon(cfg, sim_params_for_curve(cfg, ic, num_curves),
+                                e_data, ic) for ic in range(num_curves)]
+    if cfg.grid.bucket_horizons:
+        plans = bucket_horizons(plans, logger)
+
     for ic_num in range(start_curve, num_curves):
         sim = sim_params_for_curve(cfg, ic_num, num_curves)
         if logger:
             logger.info("Curve #%d: thickness=%s, %d timesteps to %s ns",
                         ic_num, sim.length, sim.T, sim.time)
-        plan = plan_fused_horizon(cfg, sim, e_data, ic_num)
+        plan = plans[ic_num]
 
         def _ckpt_chunk(ci, _ll, _ic=ic_num):
             if ckpt is not None:

@@ -193,3 +193,34 @@ def test_checkpoint_resume_interp(tmp_path, monkeypatch):
     P_res, X_res, _ = bayes(cfg)
     np.testing.assert_allclose(X_res, X_full)
     np.testing.assert_allclose(P_res, P_full, rtol=1e-12, atol=1e-12)
+
+
+def test_bucket_horizons_pads_and_masks():
+    """All fused plans share one horizon; padded region carries zero mask
+    and existing masks/values are preserved (one compiled chunk program for
+    multi-curve runs)."""
+    from bayesian_inference_trpl_tpu.models.driver import SimParams
+    from bayesian_inference_trpl_tpu.pipeline import bucket_horizons
+
+    def mk(T_c, mask=None):
+        sim = SimParams(length=311.0, time=T_c * 0.025, L=128, T=T_c,
+                        pl_stride=1)
+        vals = np.arange(2 * (T_c + 1), dtype=float).reshape(2, T_c + 1)
+        return (sim, vals, mask)
+
+    p0 = mk(100)
+    p1 = mk(200)
+    m2 = np.zeros((2, 151)); m2[:, :120] = 1.0
+    p2 = mk(150, m2)
+    out = bucket_horizons([p0, None, p1, p2])
+    assert out[1] is None
+    for q, orig_T in zip((out[0], out[2], out[3]), (100, 200, 150)):
+        sim_b, v, m = q
+        assert sim_b.T == 200 and v.shape == (2, 201) and m.shape == (2, 201)
+        assert np.all(m[:, orig_T + 1:] == 0.0)
+    # original values survive; original masks survive
+    np.testing.assert_array_equal(out[0][1][:, :101], p0[1])
+    assert np.all(out[0][2][:, :101] == 1.0)
+    np.testing.assert_array_equal(out[3][2][:, :151], m2)
+    # single fused plan: no-op
+    assert bucket_horizons([mk(100), None]) [0][2] is None
