@@ -53,6 +53,9 @@ def main(argv=None):
                     help="print the resolved config and exit")
     args = ap.parse_args(argv)
 
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     cfg = load_config(args.config)
     if args.resume:
         cfg.resume = True

@@ -82,6 +82,9 @@ def _measure_e2e(n_samples, T, method):
 
 
 def main():
+    from bayesian_inference_trpl_tpu.utils.compile_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from bayesian_inference_trpl_tpu import physics
