@@ -206,10 +206,15 @@ def coupled_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
         err_n = jnp.sum(jnp.abs(F_N), axis=-1) / den_n
         err_p = jnp.sum(jnp.abs(F_P), axis=-1) / den_p
         dN, dP = block_pcr_solve(A, B, C, (-F_N, -F_P))
-        upd = jnp.logical_not(done)
-        Nk = jnp.where(upd[:, None], Nk + dN, Nk)
-        Pk = jnp.where(upd[:, None], Pk + dP, Pk)
-        its = its + upd.astype(jnp.int32)
+        # Positivity projection: a Newton update that would wipe out > 95%
+        # of a cell's density (or turn it negative) is clamped — extreme
+        # parameter corners on steep profiles otherwise oscillate through
+        # the 1/(N tau_p + P tau_n) term and never converge (the reference
+        # aborts the whole launch on these; pvSimPCR.py:269-292).
+        upd = jnp.logical_not(done)[:, None]
+        Nk = jnp.where(upd, jnp.maximum(Nk + dN, 0.05 * Nk), Nk)
+        Pk = jnp.where(upd, jnp.maximum(Pk + dP, 0.05 * Pk), Pk)
+        its = its + upd[:, 0].astype(jnp.int32)
         ok_res = (err_n < tol) & (err_p < tol)
         ok_step = (jnp.max(jnp.abs(dN), axis=-1)
                    <= step_tol * jnp.max(jnp.abs(Nk), axis=-1)) & \

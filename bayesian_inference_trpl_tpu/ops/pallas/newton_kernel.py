@@ -69,8 +69,11 @@ def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
         err_p = jnp.sum(jnp.abs(F_P), axis=-1, keepdims=True) / den_p[:, None]
         dN, dP = block_pcr_solve(A, B, C, (-F_N, -F_P), use_barrier=False)
         upd = 1.0 - done
-        Nk = Nk + upd * dN
-        Pk = Pk + upd * dP
+        # Positivity projection (matches models/newton.py): clamp updates
+        # that would wipe out > 95% of a cell's density — extreme corners
+        # on steep profiles otherwise oscillate and never converge.
+        Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
+        Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
         its = its + upd
         # State-settled acceptance alongside the residual criterion (f32:
         # the relative residual stalls at the rounding floor while the
