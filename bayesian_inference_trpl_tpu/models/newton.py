@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..ops.block_tridiag import block_pcr_solve
 from ..ops.tridiag import shift_left, shift_right
-from .trpl import MatParams, _add_col, _col, _onehot, _zero_col0, update_e
+from .trpl import (MatParams, STEP_TOL_RESIDUAL_GUARD, _add_col, _col,
+                   _onehot, _zero_col0, update_e)
 
 
 def _edge_quantities(Nk, Pk, bE, mp: MatParams, a0):
@@ -219,7 +220,9 @@ def coupled_newton_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
         ok_step = (jnp.max(jnp.abs(dN), axis=-1)
                    <= step_tol * jnp.max(jnp.abs(Nk), axis=-1)) & \
                   (jnp.max(jnp.abs(dP), axis=-1)
-                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1))
+                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1)) & \
+                  (err_n < tol * STEP_TOL_RESIDUAL_GUARD) & \
+                  (err_p < tol * STEP_TOL_RESIDUAL_GUARD)
         done = done | ok_res | ok_step
         return Nk, Pk, done, its, it + 1
 

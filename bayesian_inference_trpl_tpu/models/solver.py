@@ -46,7 +46,12 @@ class SolverConfig(NamedTuple):
     method: str = "gauss_seidel"   # "gauss_seidel" (reference scheme) |
     #                                "coupled_newton" (exact Jacobian, E eliminated) |
     #                                "coupled_newton_pallas" (same math, fused
-    #                                Pallas TPU kernel; f32, modest max_iters)
+    #                                Pallas TPU kernel; f32, modest max_iters) |
+    #                                "fused_horizon" (whole fixed-dt horizon in
+    #                                ONE Pallas launch, VMEM-resident history;
+    #                                falls back to coupled_newton stepping when
+    #                                the call needs features the kernel lacks —
+    #                                PL traces, segmentation, state recording)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -185,7 +190,8 @@ def init_history(n_init, p_init, e_init, dtype):
 def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
           obs: Optional[FusedObs] = None, record_pl: bool = True,
           start_step: int = 0, init_hist: Optional[tuple] = None,
-          acc0: Optional[tuple] = None, return_hist: bool = False) -> SolveResult:
+          acc0: Optional[tuple] = None, return_hist: bool = False,
+          pl0: Optional[jax.Array] = None) -> SolveResult:
     """Evolve a batch of TRPL simulations for cfg.num_steps BDF steps.
 
     Args:
@@ -201,7 +207,27 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         next call with ``start_step`` = steps already taken.  The BDF order
         ramp, rolling slot layout, and likelihood accumulators continue
         exactly where the previous segment stopped.
+      pl0: normalization anchor for ``obs.normalize`` runs: the *run-t=0*
+        PL sample, (batch,).  Required for continued segments with
+        normalization (the segment-start state yields a different PL than
+        the run start, so re-deriving the anchor would offset every
+        ``_log_pl`` by log10(pl_seg0 / pl_t0)); ignored otherwise.
     """
+    if cfg.method == "fused_horizon":
+        fusable = (obs is not None and not record_pl and init_hist is None
+                   and acc0 is None and not return_hist and start_step == 0
+                   and pl0 is None and cfg.pl_stride == 1
+                   and cfg.record_state_stride is None and not cfg.record_iters)
+        if fusable:
+            # NOTE: the kernel evolves E from zero, which every production
+            # init mode satisfies (e_init enters only through the BDF
+            # history and is zero-initialized there too).
+            from ..ops.pallas.horizon_kernel import solve_horizon_fused
+            return solve_horizon_fused(
+                mat_nd, n_init, p_init, cfg, obs,
+                interpret=jax.default_backend() != "tpu")
+        cfg = cfg._replace(method="coupled_newton")
+
     mp = MatParams.from_array(mat_nd)
     dtype = n_init.dtype
     mp = mp.astype(dtype)
@@ -223,11 +249,19 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         nh, ph, eh = init_history(n_init, p_init, e_init, dtype)
         n_cur, p_cur = n_init.astype(dtype), p_init.astype(dtype)
 
-    # Normalization anchor and the segment-start PL sample.  For a fresh run
-    # these coincide; a continued segment re-derives the start PL from the
-    # carried history (its obs[:, 0] point was already scored by the
-    # previous segment whenever acc0 is passed).
-    pl0 = pl_observable(n_cur, p_cur, mp)
+    # Normalization anchor (run-t=0 PL).  For a fresh run it is the
+    # segment-start PL; a continued segment must carry the original run's
+    # anchor in explicitly — re-deriving it from the carried history would
+    # offset every normalized log-PL by log10(pl_seg0 / pl_t0).
+    if init_hist is not None and obs is not None and obs.normalize and pl0 is None:
+        raise ValueError(
+            "continued segment with obs.normalize=True requires the run-t=0 "
+            "PL anchor: pass pl0= from the first segment "
+            "(pl_observable(n0, p0, mp))")
+    if pl0 is None:
+        pl0 = pl_observable(n_cur, p_cur, mp)
+    else:
+        pl0 = jnp.asarray(pl0, dtype)
 
     if acc0 is not None:
         sse0, esum0 = acc0
@@ -244,32 +278,40 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         t0 = start_step + j * stride
         if stride == 1:
             nh, ph, eh, state, iters, ok = bdf_step(t0, nh, ph, eh, mp, cfg, tol, dtype)
-            conv = conv & ok
             samp_it = samp_it + iters
             outer_iters = jnp.max(iters)
             max_it = jnp.maximum(max_it, outer_iters)
         else:
             def inner(i, acc):
-                nh, ph, eh, conv, samp_it, lmax = acc
+                nh, ph, eh, okw, samp_it, lmax = acc
                 nh, ph, eh, _, iters, ok = bdf_step(t0 + i, nh, ph, eh, mp, cfg, tol, dtype)
-                return (nh, ph, eh, conv & ok, samp_it + iters,
+                return (nh, ph, eh, okw & ok, samp_it + iters,
                         jnp.maximum(lmax, jnp.max(iters)))
-            nh, ph, eh, conv, samp_it, outer_iters = jax.lax.fori_loop(
-                0, stride, inner, (nh, ph, eh, conv, samp_it, jnp.int32(0)))
+            ok0 = jnp.ones_like(conv)
+            nh, ph, eh, ok, samp_it, outer_iters = jax.lax.fori_loop(
+                0, stride, inner, (nh, ph, eh, ok0, samp_it, jnp.int32(0)))
             max_it = jnp.maximum(max_it, outer_iters)
             kp = jnp.mod(t0 + stride, HISTORY)
             state = tuple(jax.lax.dynamic_index_in_dim(h, kp, keepdims=False)
                           for h in (nh, ph, eh))
+        # A step whose observation points are entirely mask-padding (the
+        # bucket_horizons tail beyond a curve's real horizon) cannot NaN a
+        # sample: its Newton failures carry no likelihood weight, so conv
+        # freezes once the real (masked) horizon ends.
+        pad_only = None
         Nn, Pn, En = state
         pl = pl_observable(Nn, Pn, mp)
         if obs is not None:
             e = _log_pl(pl, obs, pl0) - jax.lax.dynamic_index_in_dim(
                 obs.values, j + 1, axis=1, keepdims=True)
             if obs.mask is not None:
-                e = e * jax.lax.dynamic_index_in_dim(
+                mcol = jax.lax.dynamic_index_in_dim(
                     obs.mask, j + 1, axis=1, keepdims=True)
+                e = e * mcol
+                pad_only = jnp.sum(mcol) == 0
             sse = sse + e ** 2
             esum = esum + e
+        conv = conv & (ok if pad_only is None else (ok | pad_only))
         ys = []
         if record_pl:
             ys.append(pl)

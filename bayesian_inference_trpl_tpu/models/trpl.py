@@ -35,6 +35,12 @@ BDF_TABLE = np.array([
 ])
 HISTORY = 6  # rolling history slots: new state + 5 back (reference: pvSimPCR.py:339)
 
+# State-settled (step_tol) acceptance additionally requires the residual to
+# be within this factor of tol: a stalled Newton (near-singular Jacobian,
+# tiny steps, large residual) must surface as non-convergence, not be
+# reported converged because its iterates stopped moving.
+STEP_TOL_RESIDUAL_GUARD = 1e3
+
 
 class MatParams(NamedTuple):
     """Nondimensionalized per-sample material parameters, each (batch,)."""
@@ -222,7 +228,9 @@ def implicit_step(Nk0, Pk0, Ek0, bN, bP, bE, mp: MatParams, a0, tol,
         ok_step = (jnp.max(jnp.abs(Nk1 - Nk), axis=-1)
                    <= step_tol * jnp.max(jnp.abs(Nk1), axis=-1)) & \
                   (jnp.max(jnp.abs(Pk1 - Pk), axis=-1)
-                   <= step_tol * jnp.max(jnp.abs(Pk1), axis=-1))
+                   <= step_tol * jnp.max(jnp.abs(Pk1), axis=-1)) & \
+                  (err_n < tol * STEP_TOL_RESIDUAL_GUARD) & \
+                  (err_p < tol * STEP_TOL_RESIDUAL_GUARD)
         upd = jnp.logical_not(done)
         Nk = jnp.where(upd[:, None], Nk1, Nk)
         Pk = jnp.where(upd[:, None], Pk1, Pk)

@@ -170,6 +170,10 @@ def _coarse_phase(mat_nd, n0, p0, e0, cfg: SolverConfig, obs: FusedObs,
         e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
         if mask_slice is not None:
             e = e * mask_slice[:, :, None]
+            # Padding-only coarse steps (bucket_horizons tail) carry no
+            # likelihood weight; Newton failures there must not NaN the
+            # sample (conv freezes at the end of the real horizon).
+            ok = ok | (jnp.sum(mask_slice) == 0)
         sse = sse + jnp.sum(e * e, axis=1)
         esum = esum + jnp.sum(e, axis=1)
         return (nh, ph, eh, lp_win, conv & ok,

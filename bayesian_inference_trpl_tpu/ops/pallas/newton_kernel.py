@@ -78,10 +78,12 @@ def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
         # State-settled acceptance alongside the residual criterion (f32:
         # the relative residual stalls at the rounding floor while the
         # Newton update has shrunk to nothing); step_tol == 0 disables.
+        guard = tol * 1e3   # STEP_TOL_RESIDUAL_GUARD: stalls stay flagged
         ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                    <= step_tol * jnp.max(jnp.abs(Nk), axis=-1, keepdims=True)) & \
                   (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
-                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1, keepdims=True))
+                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1, keepdims=True)) & \
+                  (err_n < guard) & (err_p < guard)
         ok = jnp.broadcast_to(
             (((err_n < tol) & (err_p < tol)) | ok_step).astype(done.dtype),
             done.shape)

@@ -128,15 +128,21 @@ class ShardedRunner:
         n_chunks = -(-n // self.chunk)
 
         def harvest(ci, ll, ok):
-            """Block on a dispatched chunk and fold it into the output."""
+            """Block on a dispatched chunk and fold it into the output.
+            The device sync counts as solver time; host-side accumulation
+            and checkpoint writes count as misc."""
             lo = ci * self.chunk
             size = min(lo + self.chunk, n) - lo
+            t0 = time.perf_counter()
             ll = np.asarray(ll)                   # device sync point
             ok = np.asarray(ok)
+            self.timers.solver_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
             out[:, lo:lo + size] += ll[:, :size]
             conv[lo:lo + size] = ok[:size]
             if chunk_done is not None:
                 chunk_done(ci, ll[:, :size])
+            self.timers.misc_time += time.perf_counter() - t0
 
         # Double-buffered dispatch: chunk ci+1's host prep and shard
         # placement overlap chunk ci's device execution (jax dispatch is
@@ -144,11 +150,11 @@ class ShardedRunner:
         # reference runs strictly serial H2D -> kernel -> D2H per launch
         # (bayeslib.py:131-146).
         pending = None
-        t0 = time.perf_counter()
         for ci in range(start_chunk, n_chunks):
             lo = ci * self.chunk
             hi = min(lo + self.chunk, n)
             pad = self.chunk - (hi - lo)
+            t0 = time.perf_counter()
             mat_c = mat_nd_all[lo:hi]
             mag_c = mag_all[lo:hi]
             if pad:
@@ -156,16 +162,18 @@ class ShardedRunner:
                 mag_c = np.concatenate([mag_c, np.repeat(mag_c[-1:], pad, 0)], 0)
             if progress is not None:
                 progress(ci, n_chunks)
+            self.timers.misc_time += time.perf_counter() - t0
             # Step annotation: chunks show up as named steps in
             # jax.profiler traces (enabled via DeviceConfig.profile_dir).
+            t0 = time.perf_counter()
             with jax.profiler.StepTraceAnnotation("chunk", step_num=ci):
                 ll, ok = _chunk_likelihood(
                     self._shard(mat_c, dtype), self._shard(mag_c, dtype),
                     dn, obs_rep, log_scale, cfg, normalize, fast, mask_rep)
+            self.timers.solver_time += time.perf_counter() - t0
             if pending is not None:
                 harvest(*pending)
             pending = (ci, ll, ok)
         if pending is not None:
             harvest(*pending)
-        self.timers.solver_time += time.perf_counter() - t0
         return out, conv

@@ -68,6 +68,44 @@ def test_segmented_run_bit_exact():
     assert np.asarray(r2.converged).all()
 
 
+def test_segmented_run_normalized_anchor():
+    """obs.normalize=True continuation: the run-t=0 PL anchor must be
+    carried across segments (pl0=); re-deriving it from the segment-start
+    state would offset every log-PL by log10(pl_seg0/pl_t0)."""
+    import pytest
+    from bayesian_inference_trpl_tpu.models.solver import pl_observable
+    from bayesian_inference_trpl_tpu.models.trpl import MatParams
+
+    T, T1 = 40, 20
+    sim, mat, mat_nd, n0, p0, e0, cfg = _problem(T)
+    obs = FusedObs(values=jnp.full((1, T + 1), -3.0),
+                   log_scale=jnp.asarray(pl_log_scale(sim)), min_val=1e-300,
+                   normalize=True)
+
+    r_full = solve(mat_nd, n0, p0, e0, cfg, obs=obs, record_pl=False)
+
+    cfg1 = cfg._replace(num_steps=T1)
+    obs1 = FusedObs(values=obs.values[:, :T1 + 1], log_scale=obs.log_scale,
+                    min_val=obs.min_val, normalize=True)
+    r1 = solve(mat_nd, n0, p0, e0, cfg1, obs=obs1, record_pl=False,
+               return_hist=True)
+    obs2 = FusedObs(values=obs.values[:, T1:], log_scale=obs.log_scale,
+                    min_val=obs.min_val, normalize=True)
+    pl0 = pl_observable(n0, p0, MatParams.from_array(mat_nd))
+    r2 = solve(mat_nd, n0, p0, e0, cfg._replace(num_steps=T - T1), obs=obs2,
+               record_pl=False, start_step=T1, init_hist=r1.hist,
+               acc0=(r1.sse, r1.err_sum), pl0=pl0)
+    np.testing.assert_array_equal(np.asarray(r2.sse), np.asarray(r_full.sse))
+    np.testing.assert_array_equal(np.asarray(r2.err_sum),
+                                  np.asarray(r_full.err_sum))
+
+    # Without the anchor the call must refuse rather than silently offset.
+    with pytest.raises(ValueError, match="pl0"):
+        solve(mat_nd, n0, p0, e0, cfg._replace(num_steps=T - T1), obs=obs2,
+              record_pl=False, start_step=T1, init_hist=r1.hist,
+              acc0=(r1.sse, r1.err_sum))
+
+
 def test_pvsim_continue_mode():
     """Physical-unit full-state restart: half run -> redim_state ->
     continue.  The BDF order ramp restarts at the boundary, so agreement is
