@@ -41,6 +41,17 @@ HISTORY = 6  # rolling history slots: new state + 5 back (reference: pvSimPCR.py
 # reported converged because its iterates stopped moving.
 STEP_TOL_RESIDUAL_GUARD = 1e3
 
+# Check-then-solve Newton (models/newton.py, ops/pallas/horizon_kernel.py):
+# an iterate may be accepted WITHOUT a Newton update (the cheap skip path)
+# only when its residual is this factor BELOW tol.  An iterate whose
+# residual merely passes tol gets one final "polish" update before it is
+# frozen — so accepted-iterate quality matches the always-update round-1
+# loop (post-Newton residual ~ tol^2), which the multi-phase fast path's
+# accuracy budget depends on (tools/accuracy_gate.py: raw residual-at-tol
+# acceptance at tol=1e-4 accumulates to 2.5e-2 rms log10-PL over the
+# horizon; polished acceptance holds ~1e-4).
+SKIP_ACCEPT_FACTOR = 1e-2
+
 
 class MatParams(NamedTuple):
     """Nondimensionalized per-sample material parameters, each (batch,)."""

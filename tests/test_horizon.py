@@ -1,0 +1,115 @@
+"""Full-horizon fused Pallas kernel vs the XLA op-chain solver.
+
+The kernel (ops/pallas/horizon_kernel.py) runs the whole fixed-dt horizon
+in one launch with VMEM-resident history; these tests gate it (in Mosaic
+interpret mode on CPU) against ``solve(..., method="coupled_newton")`` —
+the same math, so agreement is to summation-order rounding only.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bayesian_inference_trpl_tpu import physics
+from bayesian_inference_trpl_tpu.models.driver import (
+    SimParams, initial_excess_density, pl_log_scale)
+from bayesian_inference_trpl_tpu.models.solver import (
+    FusedObs, SolverConfig, solve)
+from bayesian_inference_trpl_tpu.ops.pallas.horizon_kernel import (
+    solve_horizon_fused)
+
+from conftest import sample_mat_par
+
+
+def _problem(T, batch=4, seed=3, num_exp=1):
+    rng = np.random.default_rng(seed)
+    mat = sample_mat_par(rng, batch)
+    sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T,
+                    pl_stride=1)
+    mat_nd = jnp.asarray(physics.nondimensionalize(mat, sim.dx, sim.dt))
+    dn = initial_excess_density(sim, (1e18 / 1e7 ** 3, 100.0), "exp")
+    n0 = mat_nd[:, 0:1] + dn[None, :]
+    p0 = mat_nd[:, 1:2] + dn[None, :]
+    obs_vals = jnp.asarray(rng.uniform(-4.0, -2.0, (num_exp, T + 1)))
+    obs = FusedObs(values=obs_vals, log_scale=jnp.asarray(pl_log_scale(sim)),
+                   min_val=1e-300)
+    cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-8, max_iters=40,
+                       method="coupled_newton")
+    return mat_nd, n0, p0, obs, cfg
+
+
+def _compare(r_ker, r_ref, state_tol=1e-6):
+    np.testing.assert_allclose(np.asarray(r_ker.sse), np.asarray(r_ref.sse),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(r_ker.err_sum),
+                               np.asarray(r_ref.err_sum), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r_ker.converged),
+                                  np.asarray(r_ref.converged))
+    if state_tol is not None:
+        for a, b in ((r_ker.n, r_ref.n), (r_ker.p, r_ref.p),
+                     (r_ker.e, r_ref.e)):
+            # The kernel sums the BDF history in newest-first coefficient
+            # order (static-slot unroll); the scan path sums in slot order.
+            # f64 agreement is to reassociation rounding (~1e-15 abs on E).
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=state_tol, atol=1e-12)
+
+
+def test_horizon_matches_solve():
+    T = 36
+    mat_nd, n0, p0, obs, cfg = _problem(T)
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+    r_ker = solve_horizon_fused(mat_nd, n0, p0, cfg, obs, tb=12,
+                                interpret=True)
+    _compare(r_ker, r_ref)
+    np.testing.assert_array_equal(np.asarray(r_ker.sample_iters),
+                                  np.asarray(r_ref.sample_iters))
+
+
+def test_horizon_padding_and_mask():
+    """T not a multiple of the time block: the padded tail carries zero
+    weight and cannot poison convergence; results match the exact-T run."""
+    T = 40
+    mat_nd, n0, p0, obs, cfg = _problem(T, num_exp=2)
+    mask = np.ones((2, T + 1))
+    mask[1, T - 5:] = 0.0        # second experiment's curve ends early
+    obs_m = FusedObs(values=obs.values, log_scale=obs.log_scale,
+                     min_val=obs.min_val, mask=jnp.asarray(mask))
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs_m,
+                  record_pl=False)
+    r_ker = solve_horizon_fused(mat_nd, n0, p0, cfg, obs_m, tb=12,
+                                interpret=True)
+    _compare(r_ker, r_ref, state_tol=None)   # state is at the padded horizon
+
+
+def test_horizon_normalize():
+    T = 24
+    mat_nd, n0, p0, obs, cfg = _problem(T)
+    obs_n = FusedObs(values=obs.values, log_scale=obs.log_scale,
+                     min_val=1e-300, normalize=True)
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs_n,
+                  record_pl=False)
+    r_ker = solve_horizon_fused(mat_nd, n0, p0, cfg, obs_n, tb=12,
+                                interpret=True)
+    _compare(r_ker, r_ref)
+
+
+def test_solve_routes_fused_horizon():
+    """method="fused_horizon" on solve() dispatches to the kernel when the
+    call shape allows and falls back to coupled_newton stepping otherwise."""
+    T = 12
+    mat_nd, n0, p0, obs, cfg = _problem(T)
+    cfg_f = cfg._replace(method="fused_horizon")
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+    r_fh = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_f, obs=obs,
+                 record_pl=False)
+    np.testing.assert_allclose(np.asarray(r_fh.sse), np.asarray(r_ref.sse),
+                               rtol=1e-9)
+    # Fallback: PL trace requested -> op-chain path, same results.
+    r_fb = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_f, obs=obs,
+                 record_pl=True)
+    assert r_fb.pl is not None
+    np.testing.assert_allclose(np.asarray(r_fb.sse), np.asarray(r_ref.sse),
+                               rtol=1e-12)
