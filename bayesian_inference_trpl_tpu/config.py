@@ -48,6 +48,10 @@ class GridConfig:
     # Pad all fused curves to one shared horizon (masked) so multi-curve
     # runs compile ONE chunk program instead of one per horizon.
     bucket_horizons: bool = True
+    # Score off-grid (e.g. log-spaced) observation times inside the scan
+    # via dense-output slot tables (models/offgrid.py) instead of the
+    # materialize-PL-and-interpolate fallback (pipeline._simulate_interp).
+    offgrid_fused: bool = True
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
         if isinstance(self.thickness, (list, tuple)):

@@ -1,0 +1,250 @@
+"""Fused likelihood for OFF-GRID observation times.
+
+Measured TRPL data is typically log-spaced in delay time, so observation
+times do not sit on the uniform simulation step grid.  The reference
+handles this by integrating the full horizon, materializing the whole PL
+matrix, and linearly interpolating it (in log space) onto each
+experiment's times on the host (bayeslib.py:150-201 via griddata at
+:182-191).  Round 1 reproduced that as `pipeline._simulate_interp` — the
+slow path: full-horizon single-phase stepping plus a (batch, T+1) PL
+round-trip per chunk.
+
+This module scores arbitrary observation times *inside* the multi-phase
+scan instead.  The dense-output machinery of models/twophase.py already
+reconstructs log10-PL anywhere within a coarse interval from a 4-node
+trailing window of coarse log-PL values (cubic Lagrange in log space;
+linear/quadratic during the startup ramp).  Here the per-interval
+evaluation offsets are not the S uniform fine times but the actual
+observation times that fall in that interval — precomputed host-side as
+padded per-step slot tables:
+
+    weights: (C, num_exp, K, 4)   Lagrange weights at each obs offset
+    values:  (C, num_exp, K)      log10 observed PL
+    mask:    (C, num_exp, K)      1 real point / 0 padding
+
+so the in-scan work per coarse step is one broadcast multiply-sum per
+experiment slot — no (batch, T+1) PL materialization, no host interp, and
+the stride ladder applies to off-grid data exactly as to on-grid data.
+
+The same machinery with a single ((1, T),) phase serves the exact
+fixed-dt mode; interpolation *within* a fine step is then the only
+approximation (the reference's own path linearly interpolates in log
+space over the same intervals, strictly worse than the cubic used here).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solver import (HISTORY, FusedObs, SolveResult, SolverConfig, _log_pl,
+                     bdf_step, init_history, pl_observable, solve)
+from .trpl import MatParams
+from .twophase import Schedule, _validate_schedule, rescale_dt
+
+# Lagrange node sets per ramp row r = min(c, 2) (twophase._lagrange_weight_table).
+_ROW_NODES = ([2.0, 3.0], [1.0, 2.0, 3.0], [0.0, 1.0, 2.0, 3.0])
+
+
+class OffGridTables(NamedTuple):
+    """Host-built per-phase slot tables + t=0 term (all numpy/jnp arrays).
+
+    phases[p] = (weights (C_p, E, K_p, 4), values (C_p, E, K_p),
+                 mask (C_p, E, K_p)); v0/m0: (E,) t=0 observation term;
+    n_obs: (E,) count of real observation points (incl. t=0 when m0=1).
+    """
+    phases: Tuple[tuple, ...]
+    v0: np.ndarray
+    m0: np.ndarray
+    n_obs: np.ndarray
+
+
+def _lagrange_at(x: float, r: int) -> np.ndarray:
+    """(4,) weights over window cols 0..3 evaluating at window position x
+    using the row-r node set (cols 4-len(nodes)..3)."""
+    nodes = _ROW_NODES[r]
+    cols = list(range(4 - len(nodes), 4))
+    out = np.zeros(4)
+    for a, xa in enumerate(nodes):
+        w = 1.0
+        for b, xb in enumerate(nodes):
+            if a != b:
+                w *= (x - xb) / (xa - xb)
+        out[cols[a]] = w
+    return out
+
+
+def build_offgrid_tables(times: Sequence[np.ndarray],
+                         values: Sequence[np.ndarray],
+                         schedule: Schedule, dt: float,
+                         rtol: float = 1e-9) -> OffGridTables:
+    """Map each experiment's (time, log-PL) points onto phase/step/offset
+    slot tables for :func:`solve_multiphase_offgrid`.
+
+    Args:
+      times/values: per-experiment arrays; times in the same units as dt,
+        each >= 0 and <= sum-of-schedule * dt (validated).
+      schedule: ((stride, num_fine_steps), ...) fine-first phase plan.
+      dt: fine step size.
+    """
+    E = len(times)
+    T = sum(n for _, n in schedule)
+    v0 = np.zeros(E)
+    m0 = np.zeros(E)
+    n_obs = np.zeros(E)
+    # buckets[p][c] = list of (e, frac, value)
+    buckets = [[[] for _ in range(n // s)] for s, n in schedule]
+    bounds = np.cumsum([0] + [n for _, n in schedule])
+    for e in range(E):
+        t = np.asarray(times[e], dtype=float)
+        v = np.asarray(values[e], dtype=float)
+        if t.ndim != 1 or t.shape != v.shape:
+            raise ValueError("times/values must be matching 1-D arrays")
+        f = t / dt
+        if np.any(f < -rtol * T) or np.any(f > T * (1 + rtol)):
+            raise ValueError(
+                f"observation time outside simulated horizon "
+                f"[0, {T * dt}] (experiment {e})")
+        f = np.clip(f, 0.0, T)
+        n_obs[e] = len(t)
+        for fj, vj in zip(f, v):
+            if fj <= rtol * max(T, 1):
+                if m0[e]:
+                    # Multiple t=0 points would need a list; the CSV format
+                    # splits curves at t==0 so at most one exists per curve.
+                    raise ValueError(f"duplicate t=0 observation (exp {e})")
+                v0[e] = vj
+                m0[e] = 1.0
+                continue
+            p = int(np.searchsorted(bounds[1:], fj, side="left"))
+            S = schedule[p][0]
+            local = fj - bounds[p]
+            c = int(np.ceil(local / S - rtol)) - 1
+            c = min(max(c, 0), len(buckets[p]) - 1)
+            frac = local / S - c
+            buckets[p][c].append((e, frac, vj))
+
+    phases = []
+    for p, (S, n) in enumerate(schedule):
+        C = n // S
+        K = max(1, max((sum(1 for (e, _, _) in bk if e == ei)
+                        for bk in buckets[p] for ei in range(E)), default=1))
+        W = np.zeros((C, E, K, 4))
+        V = np.zeros((C, E, K))
+        M = np.zeros((C, E, K))
+        fill = np.zeros((C, E), dtype=int)
+        for c, bk in enumerate(buckets[p]):
+            r = min(c, 2)
+            for (e, frac, vj) in bk:
+                k = fill[c, e]
+                W[c, e, k] = _lagrange_at(2.0 + frac, r)
+                V[c, e, k] = vj
+                M[c, e, k] = 1.0
+                fill[c, e] = k + 1
+        phases.append((W, V, M))
+    return OffGridTables(phases=tuple(phases), v0=v0, m0=m0, n_obs=n_obs)
+
+
+def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
+                   tbl, pl0, acc, S: int):
+    """One phase at stride S, scoring the slot-table observation points.
+
+    ``obs_meta`` carries only the scalars (log_scale, min_val, normalize);
+    ``tbl`` = (W, V, M) jnp arrays for this phase; ``acc`` as in
+    twophase._coarse_phase."""
+    W_all, V_all, M_all = tbl
+    C = W_all.shape[0]
+    dtype = n0.dtype
+    mat_c = rescale_dt(mat_nd, S) if S != 1 else mat_nd
+    mp = MatParams.from_array(mat_c).astype(dtype)
+    obs_c = FusedObs(values=obs_meta.values,
+                     log_scale=obs_meta.log_scale - np.log10(S),
+                     min_val=obs_meta.min_val, normalize=obs_meta.normalize)
+    pl0_c = pl0 * S
+    tol = jnp.asarray(cfg.tol, dtype)
+
+    nh, ph, eh = init_history(n0, p0, e0, dtype)
+    lp_start = _log_pl(pl_observable(n0, p0, mp), obs_c, pl0_c)
+    batch = n0.shape[0]
+    lp_win0 = jnp.zeros((4, batch), dtype).at[3].set(lp_start)
+
+    def step(carry, xs):
+        nh, ph, eh, lp_win, conv, max_it, samp_it, sse, esum = carry
+        c, W, V, M = xs                   # W (E, K, 4), V/M (E, K)
+        nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol,
+                                                dtype)
+        Nn, Pn, _ = state
+        lp_new = _log_pl(pl_observable(Nn, Pn, mp), obs_c, pl0_c)
+        lp_win = jnp.concatenate([lp_win[1:], lp_new[None]], axis=0)
+        # Broadcast multiply-sum, NOT tensordot (see twophase._coarse_phase
+        # on the XLA:TPU in-scan small-dot miscompile).
+        lp_at = jnp.sum(W[:, :, :, None] * lp_win[None, None, :, :],
+                        axis=2)                        # (E, K, batch)
+        err = (lp_at - V[:, :, None]) * M[:, :, None]
+        sse = sse + jnp.sum(err * err, axis=1)
+        esum = esum + jnp.sum(err, axis=1)
+        # Steps carrying no real observation weight cannot poison conv
+        # (models/solver.py pad_only semantics).
+        ok = ok | (jnp.sum(M) == 0)
+        return (nh, ph, eh, lp_win, conv & ok,
+                jnp.maximum(max_it, jnp.max(iters)), samp_it + iters,
+                sse, esum), None
+
+    conv, max_it, samp_it, sse, esum = acc
+    carry0 = (nh, ph, eh, lp_win0, conv, max_it, samp_it, sse, esum)
+    xs = (jnp.arange(C), jnp.asarray(W_all, dtype), jnp.asarray(V_all, dtype),
+          jnp.asarray(M_all, dtype))
+    (nh, ph, eh, _, conv, max_it, samp_it, sse, esum), _ = jax.lax.scan(
+        step, carry0, xs)
+
+    k_final = jnp.mod(C, HISTORY)
+    n_f, p_f, e_f = (jax.lax.dynamic_index_in_dim(h, k_final, keepdims=False)
+                     for h in (nh, ph, eh))
+    return n_f, p_f, e_f, (conv, max_it, samp_it, sse, esum)
+
+
+def solve_offgrid(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
+                  tables: OffGridTables, schedule: Schedule,
+                  log_scale, min_val: float,
+                  normalize: bool = False) -> SolveResult:
+    """Fused-likelihood solve with off-grid observation times.
+
+    cfg.num_steps must equal the schedule's fine-step total; a single
+    ((1, T),) phase gives exact fixed-dt stepping with in-scan cubic
+    interpolation (cf. the reference's host-side linear interp,
+    bayeslib.py:182-191)."""
+    if cfg.pl_stride != 1:
+        raise ValueError("off-grid solver requires pl_stride == 1")
+    schedule = tuple((int(s), int(n)) for s, n in schedule)
+    _validate_schedule(schedule, cfg.num_steps)
+    if len(tables.phases) != len(schedule):
+        raise ValueError("tables/schedule phase count mismatch")
+    dtype = n_init.dtype
+    batch = n_init.shape[0]
+    E = tables.v0.shape[0]
+
+    obs_meta = FusedObs(values=jnp.zeros((E, 1), dtype),
+                        log_scale=jnp.asarray(log_scale, dtype),
+                        min_val=float(min_val), normalize=normalize)
+    mp_fine = MatParams.from_array(mat_nd).astype(dtype)
+    n = n_init.astype(dtype)
+    p = p_init.astype(dtype)
+    e = e_init.astype(dtype)
+    pl0 = pl_observable(n, p, mp_fine)
+
+    # t=0 term.
+    lp0 = _log_pl(pl0, obs_meta, pl0)
+    e0 = (lp0[None, :] - jnp.asarray(tables.v0, dtype)[:, None]) \
+        * jnp.asarray(tables.m0, dtype)[:, None]
+    acc = (jnp.ones((batch,), bool), jnp.int32(0),
+           jnp.zeros((batch,), jnp.int32), e0 ** 2, e0)
+
+    for (S, n_fine), tbl in zip(schedule, tables.phases):
+        n, p, e, acc = _phase_offgrid(mat_nd, n, p, e, cfg, obs_meta, tbl,
+                                      pl0, acc, S)
+    conv, max_it, samp_it, sse, esum = acc
+    return SolveResult(pl=None, n=n, p=p, e=e, converged=conv,
+                       max_newton_iters=max_it, sse=sse, err_sum=esum,
+                       sample_iters=samp_it)

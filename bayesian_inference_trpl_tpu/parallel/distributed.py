@@ -1,0 +1,103 @@
+"""Multi-process (multi-host / multi-slice) execution support.
+
+The reference scales out with independent SLURM array tasks — one process
+per GPU, no communication, and per-task result strides that are never
+merged (bayeslib.py:231; SURVEY.md section 2.4).  The TPU-native
+equivalent is a single SPMD program over ALL hosts' devices: pure data
+parallelism over ICI within a slice and DCN across slices, with
+
+  * ``jax.distributed.initialize`` wiring the processes together,
+  * a global 1-D sample mesh over ``jax.devices()`` (all processes),
+  * chunk inputs built with ``jax.make_array_from_callback`` from the
+    host-global sample matrix (every process draws the identical X from
+    the same seed, so each host serves exactly its addressable shards
+    with zero cross-host data movement), and
+  * one ``process_allgather`` of the tiny (num_exp, chunk) likelihood
+    block per chunk so every host owns the merged (X, P) — fixing the
+    reference's unmerged-stride gap.
+
+Usage: either call :func:`initialize` explicitly, or set the standard
+environment variables (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
+``JAX_PROCESS_ID``) and run the normal CLI on every host —
+``bayes()`` calls :func:`maybe_initialize_from_env` on startup.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+def initialize(coordinator_address: str, num_processes: int,
+               process_id: int, **kwargs) -> None:
+    """Wire this process into the global JAX runtime
+    (``jax.distributed.initialize``).  Must run before first device use."""
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+    logger.info("distributed: process %d/%d via %s; %d global devices",
+                process_id, num_processes, coordinator_address,
+                len(jax.devices()))
+
+
+def maybe_initialize_from_env() -> bool:
+    """Initialize from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID when set (the SLURM-array replacement: point every host
+    at the same coordinator).  Returns True when distributed mode is on."""
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    initialize(addr, int(os.environ["JAX_NUM_PROCESSES"]),
+               int(os.environ["JAX_PROCESS_ID"]))
+    return True
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (checkpoint
+    writes, exports, logging)."""
+    return process_index() == 0
+
+
+def make_global_array(arr, sharding):
+    """Build a (possibly multi-host) global array from a HOST-GLOBAL numpy
+    array: every process passes the same full ``arr`` and serves only the
+    shards addressable on its devices.  Single-process: plain device_put."""
+    import jax
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def broadcast_from_primary(tree):
+    """Broadcast a pytree of host arrays from process 0 to all processes
+    (used for checkpoint-resume state, which only the primary reads — the
+    chunk loops of every process must agree on the resume point or the
+    per-chunk allgather desyncs).  Single-process: identity."""
+    import jax
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def allgather_to_host(x):
+    """Gather a sample-sharded device array to a host-global numpy array on
+    EVERY process (the merge step the reference's SLURM strides lacked).
+    Single-process: plain device transfer."""
+    import jax
+    import numpy as np
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

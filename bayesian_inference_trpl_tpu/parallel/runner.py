@@ -71,6 +71,28 @@ def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
     return ll, res.converged
 
 
+@partial(jax.jit, static_argnames=("cfg", "normalize", "schedule"))
+def _chunk_likelihood_offgrid(mat_nd, mag, dn, phase_tables, v0, m0, n_obs,
+                              log_scale, cfg: SolverConfig, normalize: bool,
+                              schedule):
+    """SPMD chunk program for OFF-GRID observation times: solve with the
+    slot-table fused likelihood (models/offgrid.py).  Returns
+    (P_chunk (num_exp, chunk), converged (chunk,))."""
+    from ..models.offgrid import OffGridTables, solve_offgrid
+    from ..ops.likelihood import FLOAT_MIN
+
+    n0 = mat_nd[:, 0:1] + dn[None, :]
+    p0 = mat_nd[:, 1:2] + dn[None, :]
+    e0 = jnp.zeros_like(n0)
+    tables = OffGridTables(phases=phase_tables, v0=v0, m0=m0, n_obs=n_obs)
+    res = solve_offgrid(mat_nd, n0, p0, e0, cfg, tables, schedule,
+                        log_scale, FLOAT_MIN, normalize=normalize)
+    ll = log_likelihood_from_terms(res.sse, res.err_sum, n_obs[:, None],
+                                   mag[None, :])
+    ll = jnp.where(res.converged[None, :], ll, jnp.nan)
+    return ll, res.converged
+
+
 class ShardedRunner:
     """Chunked SPMD executor over a 1-D sample mesh."""
 
@@ -82,10 +104,14 @@ class ShardedRunner:
         self.timers = RunnerTimers()
 
     def _shard(self, arr, dtype):
-        return jax.device_put(jnp.asarray(arr, dtype), sample_sharding(self.mesh))
+        from .distributed import make_global_array
+        return make_global_array(np.asarray(arr, dtype),
+                                 sample_sharding(self.mesh))
 
     def _replicate(self, arr, dtype):
-        return jax.device_put(jnp.asarray(arr, dtype), replicated(self.mesh))
+        from .distributed import make_global_array
+        return make_global_array(np.asarray(arr, dtype),
+                                 replicated(self.mesh))
 
     def run_curve(self, X, sim: SimParams, ini_par, obs_log_values,
                   normalize: bool = False, dtype=None,
@@ -134,8 +160,10 @@ class ShardedRunner:
             lo = ci * self.chunk
             size = min(lo + self.chunk, n) - lo
             t0 = time.perf_counter()
-            ll = np.asarray(ll)                   # device sync point
-            ok = np.asarray(ok)
+            from .distributed import allgather_to_host
+            ll = allgather_to_host(ll)            # device sync point
+            ok = allgather_to_host(ok)            # (cross-host merge when
+            #                                       multi-process)
             self.timers.solver_time += time.perf_counter() - t0
             t0 = time.perf_counter()
             out[:, lo:lo + size] += ll[:, :size]
@@ -149,6 +177,20 @@ class ShardedRunner:
         # async; np.asarray in harvest is the only sync point).  The
         # reference runs strictly serial H2D -> kernel -> D2H per launch
         # (bayeslib.py:131-146).
+        def dispatch(mat_c, mag_c):
+            return _chunk_likelihood(mat_c, mag_c, dn, obs_rep, log_scale,
+                                     cfg, normalize, fast, mask_rep)
+
+        self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
+                         progress, start_chunk)
+        return out, conv
+
+    def _chunk_loop(self, dispatch, mat_nd_all, mag_all, dtype, n, harvest,
+                    progress, start_chunk):
+        """Double-buffered chunk dispatch shared by the on-grid and off-grid
+        paths; ``dispatch(mat_c, mag_c) -> (ll, ok)`` runs the jitted SPMD
+        chunk program on pre-sharded inputs."""
+        n_chunks = -(-n // self.chunk)
         pending = None
         for ci in range(start_chunk, n_chunks):
             lo = ci * self.chunk
@@ -167,13 +209,72 @@ class ShardedRunner:
             # jax.profiler traces (enabled via DeviceConfig.profile_dir).
             t0 = time.perf_counter()
             with jax.profiler.StepTraceAnnotation("chunk", step_num=ci):
-                ll, ok = _chunk_likelihood(
-                    self._shard(mat_c, dtype), self._shard(mag_c, dtype),
-                    dn, obs_rep, log_scale, cfg, normalize, fast, mask_rep)
+                ll, ok = dispatch(self._shard(mat_c, dtype),
+                                  self._shard(mag_c, dtype))
             self.timers.solver_time += time.perf_counter() - t0
             if pending is not None:
                 harvest(*pending)
             pending = (ci, ll, ok)
         if pending is not None:
             harvest(*pending)
+
+    def run_curve_offgrid(self, X, sim: SimParams, ini_par, tables, schedule,
+                          normalize: bool = False, dtype=None,
+                          progress: Optional[Callable[[int, int], None]] = None,
+                          chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
+                          start_chunk: int = 0, out: Optional[np.ndarray] = None):
+        """Off-grid variant of :meth:`run_curve`: observation times are
+        scored inside the scan from precomputed slot tables
+        (models/offgrid.py) — no PL materialization, no host interp.
+
+        Args:
+          tables: OffGridTables from models.offgrid.build_offgrid_tables
+            (times mapped with this sim's dt and the given schedule).
+          schedule: ((stride, num_fine_steps), ...) covering sim.T.
+        """
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        n = len(X)
+        num_exp = len(tables.v0)
+        mat_nd_all = physics.nondimensionalize(np.asarray(X)[:, :12], sim.dx,
+                                               sim.dt)
+        mag_all = np.asarray(X)[:, 12]
+        dn = initial_excess_density(sim, ini_par, "points", dtype=dtype)
+        dn = self._replicate(dn, dtype)
+        phase_tables = tuple(
+            tuple(self._replicate(a, dtype) for a in tbl)
+            for tbl in tables.phases)
+        v0 = self._replicate(tables.v0, dtype)
+        m0 = self._replicate(tables.m0, dtype)
+        n_obs = self._replicate(tables.n_obs, dtype)
+        log_scale = jnp.asarray(pl_log_scale(sim), dtype)
+        cfg = sim.solver_config()
+        schedule = tuple((int(s), int(c)) for s, c in schedule)
+
+        if out is None:
+            out = np.zeros((num_exp, n))
+        conv = np.ones(n, dtype=bool)
+
+        def harvest(ci, ll, ok):
+            lo = ci * self.chunk
+            size = min(lo + self.chunk, n) - lo
+            t0 = time.perf_counter()
+            from .distributed import allgather_to_host
+            ll = allgather_to_host(ll)
+            ok = allgather_to_host(ok)
+            self.timers.solver_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out[:, lo:lo + size] += ll[:, :size]
+            conv[lo:lo + size] = ok[:size]
+            if chunk_done is not None:
+                chunk_done(ci, ll[:, :size])
+            self.timers.misc_time += time.perf_counter() - t0
+
+        def dispatch(mat_c, mag_c):
+            return _chunk_likelihood_offgrid(
+                mat_c, mag_c, dn, phase_tables, v0, m0, n_obs, log_scale,
+                cfg, normalize, schedule)
+
+        self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
+                         progress, start_chunk)
         return out, conv

@@ -99,6 +99,42 @@ def plan_fused_horizon(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int
     return sim_c, values, mask
 
 
+def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
+    """Build the off-grid fused plan for one curve: a shortened SimParams,
+    the phase schedule, and the slot tables (models/offgrid.py).
+
+    Returns None when the curve cannot be fused off-grid (observation times
+    beyond the simulated horizon keep the reference's interpolate-to-NaN
+    semantics via ``_simulate_interp``)."""
+    from .models.offgrid import build_offgrid_tables
+
+    num_exp = len(e_data)
+    times = [np.asarray(e_data[e][0][ic_num], dtype=float)
+             for e in range(num_exp)]
+    values = [np.asarray(e_data[e][1][ic_num], dtype=float)
+              for e in range(num_exp)]
+    tmax = max((t.max() if len(t) else 0.0) for t in times)
+    if tmax > sim.time * (1 + 1e-9):
+        return None
+    if any(np.any(t < 0) for t in times):
+        return None
+    # Shortened horizon covering the latest observation (same idea as
+    # plan_fused_horizon; the reference always integrates the full horizon,
+    # bayeslib.py:115).
+    T_c = min(max(int(np.ceil(tmax / sim.dt - 1e-9)), 1), sim.T)
+    sim_c = SimParams(length=sim.length, time=T_c * sim.dt, L=sim.L, T=T_c,
+                      pl_stride=1, tol_exp=sim.tol_exp,
+                      max_iters=sim.max_iters, method=sim.method,
+                      predictor=sim.predictor, step_tol=sim.step_tol,
+                      fast_fine_steps=sim.fast_fine_steps,
+                      fast_coarse_stride=sim.fast_coarse_stride,
+                      fast_max_stride=sim.fast_max_stride,
+                      fast_steps_per_phase=sim.fast_steps_per_phase)
+    schedule = sim_c.fast_phases or ((1, T_c),)
+    tables = build_offgrid_tables(times, values, schedule, sim_c.dt)
+    return sim_c, schedule, tables
+
+
 def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> SimParams:
     g = cfg.grid
     return SimParams(length=g.thickness_for_curve(ic_num, num_curves),
@@ -220,12 +256,30 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                 chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
                 obs_mask=obs_mask)
         else:
-            if logger:
-                logger.info("Observation times off-grid: interpolating likelihood")
-            conv = _simulate_interp(cfg, sim, e_data, init_params[ic_num],
-                                    ic_num, X, P, runner, dtype, logger,
-                                    chunk_done=_ckpt_chunk,
-                                    start_chunk=first_chunk)
+            og = (plan_offgrid(cfg, sim, e_data, ic_num)
+                  if cfg.grid.offgrid_fused else None)
+            if og is not None:
+                sim_c, schedule, tables = og
+                if logger:
+                    logger.info(
+                        "Observation times off-grid: fused slot-table "
+                        "likelihood (horizon %d steps, %d phases)",
+                        sim_c.T, len(schedule))
+                _, conv = runner.run_curve_offgrid(
+                    X, sim_c, init_params[ic_num], tables, schedule,
+                    normalize=cfg.sim_flags.self_normalize, dtype=dtype,
+                    progress=(lambda ci, nc: logger.info(
+                        "Curve #%d: chunk %d of %d", ic_num, ci, nc))
+                    if logger else None,
+                    chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P)
+            else:
+                if logger:
+                    logger.info(
+                        "Observation times off-grid: interpolating likelihood")
+                conv = _simulate_interp(cfg, sim, e_data, init_params[ic_num],
+                                        ic_num, X, P, runner, dtype, logger,
+                                        chunk_done=_ckpt_chunk,
+                                        start_chunk=first_chunk)
         conv_all &= conv
     P[:, ~conv_all] = np.nan
     return conv_all
@@ -285,6 +339,14 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     the sample matrix in user units (n, 13), and run diagnostics.
     """
     t_start = time.perf_counter()
+    # Multi-host: join the global runtime when the coordinator env vars are
+    # set (the SLURM-array replacement; parallel/distributed.py).  Every
+    # process runs this same function; host-side RNG state is identical
+    # (same seed), per-chunk results are allgathered, and only the primary
+    # process writes checkpoints/exports.
+    from .parallel import distributed as dist
+    dist.maybe_initialize_from_env()
+    primary = dist.is_primary()
     rng = np.random.default_rng(cfg.sim_flags.seed)
 
     init_params = bio.get_initpoints(cfg.paths.init_file, cfg.ic_flags.as_dict())
@@ -304,7 +366,7 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     ckpt = None
     start = (0, 0)
     resumed = False
-    if cfg.checkpoint and cfg.paths.out_dirs:
+    if cfg.checkpoint and cfg.paths.out_dirs and primary:
         ckpt = CheckpointManager(cfg.paths.out_dirs[0])
         if cfg.resume:
             loaded = ckpt.load()
@@ -319,6 +381,14 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
         _, P, X = sampling.make_grid(
             num_exp, min_x, max_x, cfg.params.do_log, cfg.sim_flags.as_dict(),
             rng=np.random.RandomState(cfg.sim_flags.seed))
+    if cfg.checkpoint and cfg.paths.out_dirs and cfg.resume:
+        # Multi-process: every process must agree on the primary's resume
+        # point and accumulated P, or the per-chunk collectives desync
+        # (only the primary reads the checkpoint).  Single-process: no-op.
+        start_a, P, X, resumed_f = dist.broadcast_from_primary(
+            (np.asarray(start), P, X, np.float64(resumed)))
+        start = (int(start_a[0]), int(start_a[1]))
+        resumed = bool(resumed_f)
     if logger:
         logger.info("Initialized %d random samples", len(X))
 
@@ -343,8 +413,9 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
                             cfg.device.profile_dir)
 
     X_user = X / physics.UNIT_CONVERSIONS
-    for i, out_dir in enumerate(cfg.paths.out_dirs):
-        bio.export(out_dir, P[i], X_user, logger=logger)
+    if primary:
+        for i, out_dir in enumerate(cfg.paths.out_dirs):
+            bio.export(out_dir, P[i], X_user, logger=logger)
 
     info = dict(runtime=time.perf_counter() - t_start, **runner.timers.as_dict(),
                 num_samples=len(X), num_devices=runner.n_devices)

@@ -114,6 +114,7 @@ def test_interp_path(synthetic, tmp_path):
     obs_times = np.linspace(0.0, TIME, 11)
     obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=1)
     cfg = _config(tmp_path, obs2, exc2, n_points=6)
+    cfg.grid.offgrid_fused = False     # force the interp fallback
     cfg.params.min_x = cfg.params.max_x = [
         TRUE["n0"], TRUE["p0"], TRUE["mun"], TRUE["mup"], TRUE["B"],
         TRUE["Sf"], TRUE["Sb"], TRUE["CN"], TRUE["CP"], TRUE["taun"],
@@ -122,6 +123,59 @@ def test_interp_path(synthetic, tmp_path):
     P, X, _ = bayes(cfg)
     # interpolation error only: still near-perfect match
     assert np.all(P > -1e-4)
+
+
+def test_offgrid_fused_path_matches_interp(tmp_path):
+    """Off-grid observation times through the fused slot-table path agree
+    with the interp fallback to interpolation tolerance (the only
+    difference: in-scan cubic vs host-side linear interpolation in log
+    space), with identical samples and NaN filtering."""
+    obs_times = np.concatenate([[0.0], np.geomspace(0.013, TIME, 13)])
+    obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=2)
+    cfg = _config(tmp_path, obs2, exc2, n_points=8)
+    P_f, X_f, _ = bayes(cfg)
+    cfg2 = _config(tmp_path, obs2, exc2, n_points=8)
+    cfg2.grid.offgrid_fused = False
+    P_i, X_i, _ = bayes(cfg2)
+    np.testing.assert_allclose(X_f, X_i)
+    # T=20 is a deliberately coarse grid, so cubic-vs-linear interpolation
+    # differences are at their largest here (~1%); real horizons (T=80k)
+    # are gated much tighter in test_offgrid.py.
+    np.testing.assert_allclose(P_f, P_i, rtol=0.02, atol=0.02)
+
+
+def test_offgrid_checkpoint_resume(tmp_path, monkeypatch):
+    """Preemption mid-curve on the fused off-grid path resumes exactly."""
+    from bayesian_inference_trpl_tpu.parallel.runner import ShardedRunner
+
+    obs_times = np.concatenate([[0.0], np.geomspace(0.013, TIME, 9)])
+    obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=2)
+    cfg_ref = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg_ref.paths.out_dirs = [str(tmp_path / "OGREF")]
+    cfg_ref.checkpoint = True
+    P_full, X_full, _ = bayes(cfg_ref)
+
+    cfg = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg.paths.out_dirs = [str(tmp_path / "OGCKPT")]
+    cfg.checkpoint = True
+    calls = {"n": 0}
+    orig = ShardedRunner.run_curve_offgrid
+
+    def interrupting(self, *a, **k):
+        if calls["n"] == 1:
+            raise KeyboardInterrupt("simulated preemption")
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ShardedRunner, "run_curve_offgrid", interrupting)
+    with pytest.raises(KeyboardInterrupt):
+        bayes(cfg)
+    monkeypatch.setattr(ShardedRunner, "run_curve_offgrid", orig)
+
+    cfg.resume = True
+    P_res, X_res, _ = bayes(cfg)
+    np.testing.assert_allclose(X_res, X_full)
+    np.testing.assert_allclose(P_res, P_full, rtol=1e-12, atol=1e-12)
 
 
 def test_checkpoint_resume(synthetic, monkeypatch):
@@ -168,11 +222,13 @@ def test_checkpoint_resume_interp(tmp_path, monkeypatch):
     obs_times = np.linspace(0.0, TIME, 11)
     obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=2)
     cfg_ref = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg_ref.grid.offgrid_fused = False
     cfg_ref.paths.out_dirs = [str(tmp_path / "IREF")]
     cfg_ref.checkpoint = True
     P_full, X_full, _ = bayes(cfg_ref)
 
     cfg = _config(tmp_path, obs2, exc2, n_points=16)
+    cfg.grid.offgrid_fused = False
     cfg.paths.out_dirs = [str(tmp_path / "ICKPT")]
     cfg.checkpoint = True
     calls = {"n": 0}
