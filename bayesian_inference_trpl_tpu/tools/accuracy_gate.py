@@ -43,7 +43,35 @@ def sample_production_box(n, seed=0):
     return x * physics.UNIT_CONVERSIONS[:12]
 
 
-def exact_curves(batch, T, seed=0, tol_exp_exact=7.0):
+POWER_SCAN_EXC = "/root/reference/Example Data/Power_scan_Excitations.csv"
+
+
+def excitation_profiles(profile: str, batch: int, sim, dtype):
+    """(batch, L) nondimensional initial excess densities.
+
+    ``synthetic``: the smooth a*exp(-x/l) profile (every sample alike).
+    ``power_scan``: the MEASURED Example-Data excitation profiles, cycled
+    over the batch — the steep curves behind the production run's
+    non-converged corner (VERDICT round 1, Weak #2)."""
+    import jax.numpy as jnp
+    from ..models.driver import initial_excess_density
+
+    if profile == "synthetic":
+        dn = initial_excess_density(sim, (1e18 / 1e7 ** 3, 100.0), "exp",
+                                    dtype=dtype)
+        return jnp.broadcast_to(dn[None, :], (batch, sim.L))
+    if profile == "power_scan":
+        from ..utils.io import get_initpoints
+        profiles = get_initpoints(POWER_SCAN_EXC, {})
+        rows = [initial_excess_density(sim, profiles[i % len(profiles)],
+                                       "points", dtype=dtype)
+                for i in range(batch)]
+        return jnp.stack(rows)
+    raise ValueError(f"unknown profile {profile!r}")
+
+
+def exact_curves(batch, T, seed=0, tol_exp_exact=7.0,
+                 profile="synthetic"):
     """Exact reference: f64 single-phase full-horizon log10-PL curves.
 
     Meant to run on the CPU backend (TPU f64 is emulated, ~50x slower; the
@@ -62,8 +90,7 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0):
         jax.config.update("jax_enable_x64", True)
     mat = sample_production_box(batch, seed)
     sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T)
-    dn64 = initial_excess_density(sim, (1e18 / 1e7 ** 3, 100.0), "exp",
-                                  dtype=jnp.float64)
+    dn64 = excitation_profiles(profile, batch, sim, jnp.float64)
     mat64 = jnp.asarray(physics.nondimensionalize(mat, sim.dx, sim.dt),
                         jnp.float64)
     cfg64 = SolverConfig(num_steps=T, pl_stride=1, tol=10.0 ** -tol_exp_exact,
@@ -71,8 +98,8 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0):
 
     @jax.jit
     def run_exact(mat_nd, dn):
-        n0 = mat_nd[:, 0:1] + dn[None, :]
-        p0 = mat_nd[:, 1:2] + dn[None, :]
+        n0 = mat_nd[:, 0:1] + dn
+        p0 = mat_nd[:, 1:2] + dn
         return solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg64,
                      record_pl=True)
     r64 = run_exact(mat64, dn64)
@@ -83,7 +110,8 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0):
 
 def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
              max_stride=64, steps_per_phase=512,
-             tol_exp_fast=4.0, seed=0, verbose=True, t_exact=None):
+             tol_exp_fast=4.0, seed=0, verbose=True, t_exact=None,
+             profile="synthetic"):
     """Score the shipped fast f32 path against precomputed exact curves
     ``lp64`` (from :func:`exact_curves`, same batch/T/seed)."""
     import jax
@@ -102,8 +130,7 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
     # --- Fast path: f32 multi-phase, exact curves as fused observations.
     dtype = jnp.float32
     mat32 = jnp.asarray(np.asarray(mat64), dtype)
-    dn32 = initial_excess_density(sim, (1e18 / 1e7 ** 3, 100.0), "exp",
-                                  dtype=dtype)
+    dn32 = excitation_profiles(profile, batch, sim, dtype)
     obs = FusedObs(values=jnp.asarray(lp64, dtype),
                    log_scale=jnp.asarray(log_scale, dtype), min_val=1e-30)
     schedule = geometric_schedule(T, fine_steps, base_stride=base_stride,
@@ -119,8 +146,8 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
 
     @jax.jit
     def run_fast(mat_nd, dn):
-        n0 = mat_nd[:, 0:1] + dn[None, :]
-        p0 = mat_nd[:, 1:2] + dn[None, :]
+        n0 = mat_nd[:, 0:1] + dn
+        p0 = mat_nd[:, 1:2] + dn
         r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg32, obs,
                              schedule)
         return r.sse, r.converged
@@ -130,7 +157,8 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
     rms = np.sqrt(sse_d / (T + 1))
     conv = np.asarray(conv)
     report = dict(
-        batch=batch, T=T, schedule=[list(p) for p in schedule],
+        batch=batch, T=T, profile=profile, seed=seed,
+        schedule=[list(p) for p in schedule],
         rms_log10_pl_max=float(np.nanmax(rms)),
         rms_log10_pl_mean=float(np.nanmean(rms)),
         non_converged=int((~conv).sum()),
@@ -159,12 +187,19 @@ def main(argv=None):
                          "reused if it exists, else computed and saved")
     ap.add_argument("--exact-only", action="store_true",
                     help="internal: compute exact curves and exit")
+    ap.add_argument("--profile", default="synthetic",
+                    choices=["synthetic", "power_scan"],
+                    help="excitation profiles: smooth synthetic or the "
+                         "MEASURED Example-Data Power_scan curves (the "
+                         "steep profiles behind the production "
+                         "non-converged corner)")
     args = ap.parse_args(argv)
     from . import apply_platform_env
     apply_platform_env()
 
     if args.exact_only:
-        lp64 = exact_curves(args.batch, args.T, args.seed)
+        lp64 = exact_curves(args.batch, args.T, args.seed,
+                            profile=args.profile)
         np.save(args.exact_file, lp64)
         print(f"wrote exact curves to {args.exact_file}")
         return
@@ -174,8 +209,10 @@ def main(argv=None):
     t_exact = None
     # Bundled cache: the f64 exact run takes ~90 min on one CPU core, so
     # the default (batch 8, T 80000, seed 0) curves ship with the repo.
+    tag = "" if args.profile == "synthetic" else f"_{args.profile}"
     bundled = os.path.join(os.path.dirname(__file__), "exact_cache",
-                           f"exact_T{args.T}_b{args.batch}_s{args.seed}.npz")
+                           f"exact_T{args.T}_b{args.batch}_s{args.seed}"
+                           f"{tag}.npz")
     if args.exact_file and os.path.exists(args.exact_file):
         lp64 = np.load(args.exact_file)
     elif args.exact_file is None and os.path.exists(bundled):
@@ -185,7 +222,7 @@ def main(argv=None):
         # session exposes no in-process CPU backend, and TPU f64 is
         # emulated (hours at full scale).
         exact_file = args.exact_file or f"/tmp/trpl_exact_{args.T}_" \
-                                        f"{args.batch}_{args.seed}.npy"
+                                        f"{args.batch}_{args.seed}{tag}.npy"
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         t0 = time.perf_counter()
         subprocess.run(
@@ -193,13 +230,13 @@ def main(argv=None):
              "bayesian_inference_trpl_tpu.tools.accuracy_gate",
              "--exact-only", "--exact-file", exact_file,
              "--batch", str(args.batch), "--T", str(args.T),
-             "--seed", str(args.seed)],
+             "--seed", str(args.seed), "--profile", args.profile],
             check=True, env=env)
         t_exact = time.perf_counter() - t0
         lp64 = np.load(exact_file)
 
     report = run_gate(lp64, batch=args.batch, T=args.T, seed=args.seed,
-                      t_exact=t_exact)
+                      t_exact=t_exact, profile=args.profile)
     ok = (report["rms_log10_pl_max"] <= args.tol
           and report["non_converged"] == 0)
     if not ok:

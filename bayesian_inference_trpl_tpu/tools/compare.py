@@ -23,8 +23,14 @@ def _locs(L, fracs, last_minus_one=False):
     return np.minimum(idx, L - 1)
 
 
-def field_errors(a: dict, b: dict) -> dict:
-    """Mean relative L2 per field; ``b`` is the reference run."""
+def field_errors(a: dict, b: dict, reduce: str = "mean") -> dict:
+    """Relative L2 per field; ``b`` is the reference run.
+
+    ``reduce``: "mean" (the reference comparator's average over samples,
+    compare.py:41-57), "max" (worst sample — the gating mode), or "none"
+    (per-sample arrays, for dt-refinement fits)."""
+    red = {"mean": np.nanmean, "max": np.nanmax,
+           "none": np.asarray}[reduce]
     out = {}
     for f in ("N", "P", "E"):
         A, B = np.asarray(a[f]), np.asarray(b[f])
@@ -36,7 +42,7 @@ def field_errors(a: dict, b: dict) -> dict:
             y = B[i][:, lb].ravel()
             ny = np.linalg.norm(y)
             errs.append(np.linalg.norm(x - y) / ny if ny > 0 else np.nan)
-        out[f] = float(np.nanmean(errs))
+        out[f] = red(errs) if reduce == "none" else float(red(errs))
     pa, pb = np.asarray(a["pl"]), np.asarray(b["pl"])
     ta = _locs(pa.shape[-1], TIME_FRACS)
     tb = _locs(pb.shape[-1], TIME_FRACS)
@@ -44,7 +50,7 @@ def field_errors(a: dict, b: dict) -> dict:
     for i in range(len(pa)):
         y = pb[i][tb]
         errs.append(np.linalg.norm(pa[i][ta] - y) / np.linalg.norm(y))
-    out["PL"] = float(np.nanmean(errs))
+    out["PL"] = red(errs) if reduce == "none" else float(red(errs))
     return out
 
 

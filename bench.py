@@ -159,17 +159,24 @@ def main():
                              schedule)
         return r.sse, r.err_sum, r.converged
 
+    # Exact fixed-dt mode: the full-horizon fused Pallas kernel (ONE launch
+    # per horizon, VMEM-resident history + likelihood; the reference's
+    # one-launch design point, pvSimPCR.py:227-306) with a cheap-residual
+    # pre-check that skips the Newton solve on smooth steps entirely.
+    exact_method = os.environ.get("BENCH_EXACT_METHOD", "fused_horizon")
+    cfg_exact = cfg._replace(method=exact_method)
+
     @jax.jit
     def run_exact(mat_nd, dn):
         n0 = mat_nd[:, 0:1] + dn[None, :]
         p0 = mat_nd[:, 1:2] + dn[None, :]
-        r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+        r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_exact, obs=obs,
                   record_pl=False)
-        return r.sse, r.err_sum, r.converged
+        return r.sse, r.err_sum, r.converged, r.sample_iters
 
     sims = batch * (T / 80000.0)
     fast_per_min = sims / _measure(run_fast, mat_nd, dn) * 60.0
-    exact_per_min = None
+    exact_per_min = exact_iters = None
     if not skip_exact or not headline_fast:
         # Exact (fixed-dt) stepping is ~8x the work; measure on a reduced
         # batch to bound bench wall-clock, normalizing to sims/min.
@@ -177,6 +184,8 @@ def main():
         e_sims = eb * (T / 80000.0)
         exact_per_min = e_sims / _measure(
             run_exact, mat_nd[:eb], dn) * 60.0
+        exact_iters = float(np.asarray(
+            run_exact(mat_nd[:eb], dn)[3]).mean()) / T
 
     e2e_samples = int(os.environ.get("BENCH_E2E_SAMPLES", "32768"))
     e2e = None
@@ -201,6 +210,20 @@ def main():
         out["exact_sims_per_min_chip"] = round(exact_per_min, 1)
         out["exact_sims_per_min_v5e8_projected"] = round(
             exact_per_min * V5E8_CHIPS, 1)
+        # Utilization evidence (see docs/PRECISION.md "Roofline"): the
+        # workload is all-VPU (no matmuls) with near-zero HBM traffic in
+        # the fused-horizon kernel, so the roofline axis is VPU flops.
+        # Analytic op counts per sample-step: cheap residual pass ~75
+        # vector ops x L lanes; each Newton solve adds ~1060 (Jacobian +
+        # 6-sweep 2x2-block PCR + update).
+        ss_per_s = exact_per_min / 60.0 * 80000.0
+        flops_per_step = 128 * (75 + 1060 * (exact_iters or 1.0))
+        VPU_PEAK_F32 = 3.9e12   # v5e: 8x128 lanes x 4 ALUs x 0.94 GHz
+        out["exact_sample_steps_per_s"] = round(ss_per_s, 0)
+        out["exact_newton_solves_per_step"] = round(exact_iters, 3)
+        out["exact_est_vpu_tflops"] = round(ss_per_s * flops_per_step / 1e12, 2)
+        out["exact_est_vpu_util_pct"] = round(
+            ss_per_s * flops_per_step / VPU_PEAK_F32 * 100.0, 1)
     if e2e is not None:
         # Whole bayes() run: sampling, IO, nondim, sharding, double-buffered
         # solve, export (BASELINE.md row 3).
