@@ -229,7 +229,7 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         the run start, so re-deriving the anchor would offset every
         ``_log_pl`` by log10(pl_seg0 / pl_t0)); ignored otherwise.
     """
-    if cfg.method == "fused_horizon":
+    if cfg.method in ("fused_horizon", "fused_horizon_chord"):
         fusable = (obs is not None and not record_pl and init_hist is None
                    and acc0 is None and not return_hist and start_step == 0
                    and pl0 is None and cfg.pl_stride == 1
@@ -241,6 +241,7 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
             from ..ops.pallas.horizon_kernel import solve_horizon_fused
             return solve_horizon_fused(
                 mat_nd, n_init, p_init, cfg, obs,
+                chord=cfg.method == "fused_horizon_chord",
                 interpret=jax.default_backend() != "tpu")
         cfg = cfg._replace(method="coupled_newton")
 

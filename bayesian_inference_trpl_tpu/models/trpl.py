@@ -50,7 +50,8 @@ STEP_TOL_RESIDUAL_GUARD = 1e3
 # accuracy budget depends on (tools/accuracy_gate.py: raw residual-at-tol
 # acceptance at tol=1e-4 accumulates to 2.5e-2 rms log10-PL over the
 # horizon; polished acceptance holds ~1e-4).
-SKIP_ACCEPT_FACTOR = 1e-2
+SKIP_ACCEPT_FACTOR = float(__import__("os").environ.get(
+    "TRPL_SKIP_ACCEPT_FACTOR", "3e-2"))
 
 
 class MatParams(NamedTuple):

@@ -147,12 +147,159 @@ def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     return Nk, Pk, Ek, done, its
 
 
+def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
+                        cache_refs, approx_inv: bool):
+    """Frozen-Jacobian (chord) Newton with a VMEM-resident cached PCR
+    factorization that PERSISTS ACROSS TIME STEPS.
+
+    The full Newton solve is ~1100 flops/cell (Jacobian assembly + 6-sweep
+    2x2-block PCR with its divides); the Jacobian drifts only O(dt)
+    between BDF steps, so a factorization cached from an earlier step
+    still contracts the residual.  A chord iteration is one cheap residual
+    pass (~75 flops/cell) plus one divide-free ``block_pcr_apply``
+    (~130 flops/cell) — ~5x cheaper than full Newton.  This attacks the
+    exact fixed-dt bottleneck directly: per-sample skip cannot save tile
+    wall-clock (the VPU executes the whole tile), but a cheaper solve
+    saves it on every step.
+
+    ``cache_refs`` = (kc1, kc2, fin, dxn, dxp, cval) scratch:
+      kc1/kc2 (NS*4, tile, L)  sweep elimination multipliers,
+      fin (16, tile, L//2)     final pair-solve blocks,
+      dxn/dxp (tile, L)        branch-output mailboxes,
+      cval (1, 1) SMEM         cache-valid flag (reset each tile).
+    Refresh policy: full Newton (+cache rewrite) when the cache is invalid,
+    when any active sample's residual fails to halve under a chord step
+    (stall), or when the per-step iteration count exceeds the chord budget.
+    Acceptance matches the two-tier gate semantics: freeze at residual
+    < SKIP_ACCEPT_FACTOR x tol (chord iterations are cheap enough to
+    iterate there directly — no polish dance), state-settled step_tol with
+    residual guard, plain tol at iteration exhaustion."""
+    from ...models.newton import (residuals_and_errors, residuals_and_jacobian)
+    from ...models.trpl import SKIP_ACCEPT_FACTOR, update_e
+    from ..block_tridiag import block_pcr_apply, block_pcr_reduce
+
+    kc1, kc2, fin, dxn, dxp, cval = cache_refs
+    tile, L = Nk.shape
+    NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
+    rf = L // 2
+    CHORD_BUDGET = 3                       # force a refresh after 3 chords
+
+    skip_tol = tol * SKIP_ACCEPT_FACTOR
+    (F_N0, F_P0), (err_n0, err_p0) = residuals_and_errors(
+        Nk, Pk, bN, bP, bE, mp, a0)
+    err_n0 = err_n0[:, None]
+    err_p0 = err_p0[:, None]
+    ok0 = ((err_n0 < skip_tol) & (err_p0 < skip_tol)).astype(Nk.dtype)
+    col0 = err_n0 * 0.0
+
+    def skip_branch(args):
+        Nk, Pk = args[0], args[1]
+        return Nk, Pk, col0 + 1.0, col0
+
+    def solve_loop(args):
+        Nk, Pk, F_N, F_P, err_n, err_p = args
+        done0 = col0 + ok0
+        ffull0 = jnp.where(cval[0, 0] < 0.5, 1.0, 0.0)
+
+        def cond(carry):
+            done, it = carry[6], carry[8]
+            return (it < max_iters) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            Nk, Pk, F_N, F_P, err_n, err_p, done, its, it, ffull = carry
+            do_full = ffull > 0.5
+
+            @pl.when(do_full)
+            def _full():
+                _, (A, B, C), _ = residuals_and_jacobian(
+                    Nk, Pk, bN, bP, bE, mp, a0)
+                cache = block_pcr_reduce(
+                    A, B, C, use_barrier=False,
+                    recip=_approx_recip if approx_inv else None)
+                k1s, k2s, (kf, inv_lhs, inv_B_hi, A_hi) = cache
+                for s in range(NS):
+                    for c in range(4):
+                        kc1[s * 4 + c] = k1s[s][c]
+                        kc2[s * 4 + c] = k2s[s][c]
+                for c in range(4):
+                    fin[c] = kf[c]
+                    fin[4 + c] = inv_lhs[c]
+                    fin[8 + c] = inv_B_hi[c]
+                    fin[12 + c] = A_hi[c]
+                cval[0, 0] = 1.0
+                dN, dP = block_pcr_apply(cache, (-F_N, -F_P),
+                                         use_barrier=False)
+                dxn[:] = dN
+                dxp[:] = dP
+
+            @pl.when(jnp.logical_not(do_full))
+            def _chord():
+                k1s = tuple(tuple(kc1[s * 4 + c] for c in range(4))
+                            for s in range(NS))
+                k2s = tuple(tuple(kc2[s * 4 + c] for c in range(4))
+                            for s in range(NS))
+                fcache = (k1s, k2s,
+                          (tuple(fin[c] for c in range(4)),
+                           tuple(fin[4 + c] for c in range(4)),
+                           tuple(fin[8 + c] for c in range(4)),
+                           tuple(fin[12 + c] for c in range(4))))
+                dN, dP = block_pcr_apply(fcache, (-F_N, -F_P),
+                                         use_barrier=False)
+                dxn[:] = dN
+                dxp[:] = dP
+
+            dN = dxn[:]
+            dP = dxp[:]
+            upd = 1.0 - done
+            Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
+            Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
+            its = its + upd
+            guard = tol * 1e3
+            ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
+                       <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
+                                             keepdims=True)) & \
+                      (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
+                       <= step_tol * jnp.max(jnp.abs(Pk), axis=-1,
+                                             keepdims=True)) & \
+                      (err_n < guard) & (err_p < guard)
+            (F_N, F_P), (err_n2, err_p2) = residuals_and_errors(
+                Nk, Pk, bN, bP, bE, mp, a0)
+            err_n2 = err_n2[:, None]
+            err_p2 = err_p2[:, None]
+            ok_skip = ((err_n2 < skip_tol) & (err_p2 < skip_tol))
+            done = jnp.maximum(done, jnp.maximum(
+                ok_step.astype(done.dtype), ok_skip.astype(done.dtype)))
+            # Stall detection: an ACTIVE sample whose residual failed to
+            # halve means the frozen Jacobian has drifted too far (or the
+            # problem is genuinely hard) -> full Newton next iteration.
+            act = 1.0 - done
+            bad = jnp.max(act * ((err_n2 > 0.5 * err_n) |
+                                 (err_p2 > 0.5 * err_p)).astype(act.dtype))
+            ffull = jnp.where((bad > 0.5) | (it + 1 >= CHORD_BUDGET),
+                              1.0, 0.0)
+            return (Nk, Pk, F_N, F_P, err_n2, err_p2, done, its, it + 1,
+                    ffull)
+
+        Nk, Pk, _, _, err_n, err_p, done, its, _, _ = jax.lax.while_loop(
+            cond, body,
+            (Nk, Pk, F_N, F_P, err_n, err_p, done0, col0, jnp.int32(0),
+             ffull0))
+        ok_fin = ((err_n < tol) & (err_p < tol)).astype(done.dtype)
+        return Nk, Pk, jnp.maximum(done, ok_fin), its
+
+    Nk, Pk, done, its = jax.lax.cond(
+        jnp.min(ok0) >= 0.5, skip_branch, solve_loop,
+        (Nk, Pk, F_N0, F_P0, err_n0, err_p0))
+    Ek = update_e(Nk, Pk, bE, mp, a0)
+    return Nk, Pk, Ek, done, its
+
+
 def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             sse_out, esum_out, conv_out, its_out, n_out, p_out, e_out,
-            nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s, *,
+            nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s, *chord_scratch,
             max_iters: int, tb: int, num_exp: int, normalize: bool,
             has_mask: bool, n_blocks: int, pred_order: int,
-            approx_inv: bool):
+            approx_inv: bool, chord: bool = False):
     from ...models.trpl import MatParams
 
     t_blk = pl.program_id(1)
@@ -173,6 +320,9 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             nh[s] = n0 if s == 0 else z
             ph[s] = p0 if s == 0 else z
             eh[s] = z
+        if chord:
+            # New sample tile -> the cached factorization is foreign.
+            chord_scratch[-1][0, 0] = 0.0
         # t=0 PL (normalization anchor; the t=0 observation term is added
         # by the wrapper — it owns obs.values[:, 0]).
         pl00 = mp.rate[:, None] * (
@@ -224,6 +374,10 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             Nn, Pn, En = Nk, Pk, eh[slots_hist[0]]
             done = jnp.ones_like(Nk)
             its = jnp.zeros_like(Nk)
+        elif chord:
+            Nn, Pn, En, done, its = _newton_solve_chord(
+                Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
+                chord_scratch, approx_inv=approx_inv)
         else:
             Nn, Pn, En, done, its = _newton_solve(
                 Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
@@ -292,10 +446,10 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
-                              "interpret"))
+                              "chord", "interpret"))
 def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
-          pred_order: int, tile: int, approx_inv: bool,
+          pred_order: int, tile: int, approx_inv: bool, chord: bool,
           interpret: bool):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
@@ -340,10 +494,20 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
         pltpu.VMEM((tile, 1), dtype),       # conv (1.0 = converged)
         pltpu.VMEM((tile, 1), dtype),       # iteration counts
     ]
+    if chord:
+        ns = max(L.bit_length() - 2, 0)     # PCR sweeps (L=128 -> 6)
+        scratch += [
+            pltpu.VMEM((ns * 4, tile, L), dtype),   # kc1 multipliers
+            pltpu.VMEM((ns * 4, tile, L), dtype),   # kc2 multipliers
+            pltpu.VMEM((16, tile, L // 2), dtype),  # final pair-solve blocks
+            pltpu.VMEM((tile, L), dtype),           # dx_n mailbox
+            pltpu.VMEM((tile, L), dtype),           # dx_p mailbox
+            pltpu.SMEM((1, 1), dtype),              # cache-valid flag
+        ]
     kernel = functools.partial(
         _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
         normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
-        pred_order=pred_order, approx_inv=approx_inv)
+        pred_order=pred_order, approx_inv=approx_inv, chord=chord)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -371,7 +535,8 @@ def _pad_axis(x, n, axis=0, edge=True):
 
 def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
                         tb: int = TIME_BLOCK, tile: int = None,
-                        approx_inv: bool = None, interpret: bool = False):
+                        approx_inv: bool = None, chord: bool = False,
+                        interpret: bool = False):
     """Fused full-horizon solve + likelihood; drop-in for the
     ``solve(..., obs=obs, record_pl=False)`` chunk program
     (models/solver.py) on the fixed-dt path.
@@ -402,7 +567,10 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
     Tp = -(-T // tb) * tb
 
     if tile is None:
-        tile = min(SAMPLE_TILE, -(-batch // 8) * 8)
+        # Chord mode carries the cached PCR factorization (~56 extra
+        # (tile, L) scratch arrays); halve the tile to stay inside VMEM.
+        tile = min(SAMPLE_TILE // 2 if chord else SAMPLE_TILE,
+                   -(-batch // 8) * 8)
     padded = -(-batch // tile) * tile
 
     values = jnp.asarray(obs.values, dtype)
@@ -446,7 +614,8 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         pred_order={"previous": 0, "linear": 1, "quadratic": 2,
                     "geometric": 3}[cfg.predictor],
         tile=int(tile),
-        approx_inv=bool(approx_inv), interpret=bool(interpret))
+        approx_inv=bool(approx_inv), chord=bool(chord),
+        interpret=bool(interpret))
 
     # t=0 observation term (the kernel owns steps 1..T).
     from ...models.solver import _log_pl, pl_observable

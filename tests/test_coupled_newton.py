@@ -9,7 +9,8 @@ from bayesian_inference_trpl_tpu import physics
 from bayesian_inference_trpl_tpu.models.driver import SimParams, initial_excess_density
 from bayesian_inference_trpl_tpu.models.solver import SolverConfig, solve
 from bayesian_inference_trpl_tpu.ops.block_tridiag import (
-    b_inv, b_mul, block_matvec, block_pcr_solve)
+    b_inv, b_mul, block_matvec, block_pcr_apply, block_pcr_reduce,
+    block_pcr_solve)
 
 from conftest import sample_mat_par
 
@@ -55,6 +56,40 @@ def test_block_pcr_matches_dense(rng):
         sol = np.linalg.solve(M, rhs)
         np.testing.assert_allclose(np.asarray(x[0][b]), sol[0::2], rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(x[1][b]), sol[1::2], rtol=1e-8, atol=1e-10)
+
+
+def test_block_pcr_reduce_apply_matches_solve(rng):
+    """The cached-coefficient path (reduce once, apply per RHS — the chord
+    Newton building block) is bitwise the staged form of block_pcr_solve,
+    and one cache serves many right-hand sides."""
+    batch, L = 4, 128
+    A = tuple(rng.uniform(-0.3, 0.3, (batch, L)) for _ in range(4))
+    C = tuple(rng.uniform(-0.3, 0.3, (batch, L)) for _ in range(4))
+    B = (4.0 + rng.uniform(-1, 1, (batch, L)),
+         rng.uniform(-0.5, 0.5, (batch, L)),
+         rng.uniform(-0.5, 0.5, (batch, L)),
+         4.0 + rng.uniform(-1, 1, (batch, L)))
+    for c in A:
+        c[:, 0] = 0.0
+    for c in C:
+        c[:, -1] = 0.0
+    Aj, Bj, Cj = (tuple(jnp.asarray(c) for c in M) for M in (A, B, C))
+    cache = block_pcr_reduce(Aj, Bj, Cj)
+    for _ in range(3):
+        r = tuple(jnp.asarray(rng.uniform(-1, 1, (batch, L)))
+                  for _ in range(2))
+        x_solve = block_pcr_solve(Aj, Bj, Cj, r)
+        x_apply = block_pcr_apply(cache, r)
+        np.testing.assert_array_equal(np.asarray(x_apply[0]),
+                                      np.asarray(x_solve[0]))
+        np.testing.assert_array_equal(np.asarray(x_apply[1]),
+                                      np.asarray(x_solve[1]))
+        # And it actually solves the system.
+        y = block_matvec(Aj, Bj, Cj, x_apply)
+        np.testing.assert_allclose(np.asarray(y[0]), np.asarray(r[0]),
+                                   rtol=2e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(y[1]), np.asarray(r[1]),
+                                   rtol=2e-7, atol=1e-9)
 
 
 @pytest.fixture(scope="module")

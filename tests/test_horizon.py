@@ -95,6 +95,33 @@ def test_horizon_normalize():
     _compare(r_ker, r_ref)
 
 
+def test_horizon_chord_matches_solve():
+    """Frozen-Jacobian (chord) mode solves the same nonlinear systems to
+    the same two-tier acceptance quality: sse agrees with exact Newton to
+    accepted-residual accumulation (~skip_tol), convergence flags equal.
+    Iteration counts differ by design (linear vs quadratic convergence)."""
+    T = 36
+    mat_nd, n0, p0, obs, cfg = _problem(T)
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+    r_ch = solve_horizon_fused(mat_nd, n0, p0, cfg, obs, tb=12, chord=True,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(r_ch.sse), np.asarray(r_ref.sse),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_ch.err_sum),
+                               np.asarray(r_ref.err_sum), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r_ch.converged),
+                                  np.asarray(r_ref.converged))
+    for a, b in ((r_ch.n, r_ref.n), (r_ch.p, r_ref.p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-12)
+    # method routing
+    cfg_c = cfg._replace(method="fused_horizon_chord")
+    r_rt = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_c, obs=obs,
+                 record_pl=False)
+    np.testing.assert_array_equal(np.asarray(r_rt.sse), np.asarray(r_ch.sse))
+
+
 def test_solve_routes_fused_horizon():
     """method="fused_horizon" on solve() dispatches to the kernel when the
     call shape allows and falls back to coupled_newton stepping otherwise."""
