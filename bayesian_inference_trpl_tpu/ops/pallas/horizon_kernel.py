@@ -35,8 +35,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 SAMPLE_TILE = 256          # samples per kernel instance (sublane dim)
 TIME_BLOCK = 384           # BDF steps per grid step (must be % 6 == 0)
+
+# Chord-mode refresh policy (see _newton_solve_chord). Env-overridable for
+# on-TPU tuning sweeps; the defaults are the shipped, gate-validated values.
+CHORD_BUDGET = int(os.environ.get("TRPL_CHORD_BUDGET", "3"))
+CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.5"))
+_TILE_ENV = os.environ.get("TRPL_HORIZON_TILE")
+# Diagnostic: make its_out count FULL (Jacobian-refresh) solves instead of
+# all Newton updates, to expose the full:chord mix (bench probes only).
+_COUNT_FULL = bool(int(os.environ.get("TRPL_CHORD_COUNT_FULL", "0")))
 
 
 def _approx_recip(x):
@@ -182,7 +193,6 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     tile, L = Nk.shape
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
-    CHORD_BUDGET = 3                       # force a refresh after 3 chords
 
     skip_tol = tol * SKIP_ACCEPT_FACTOR
     (F_N0, F_P0), (err_n0, err_p0) = residuals_and_errors(
@@ -253,7 +263,8 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             upd = 1.0 - done
             Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
-            its = its + upd
+            its = its + (upd * jnp.where(do_full, 1.0, 0.0)
+                         if _COUNT_FULL else upd)
             guard = tol * 1e3
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
@@ -270,11 +281,13 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             done = jnp.maximum(done, jnp.maximum(
                 ok_step.astype(done.dtype), ok_skip.astype(done.dtype)))
             # Stall detection: an ACTIVE sample whose residual failed to
-            # halve means the frozen Jacobian has drifted too far (or the
-            # problem is genuinely hard) -> full Newton next iteration.
+            # contract by CHORD_STALL under a chord step means the frozen
+            # Jacobian has drifted too far (or the problem is genuinely
+            # hard) -> full Newton next iteration.
             act = 1.0 - done
-            bad = jnp.max(act * ((err_n2 > 0.5 * err_n) |
-                                 (err_p2 > 0.5 * err_p)).astype(act.dtype))
+            bad = jnp.max(act * ((err_n2 > CHORD_STALL * err_n) |
+                                 (err_p2 > CHORD_STALL * err_p)).astype(
+                                     act.dtype))
             ffull = jnp.where((bad > 0.5) | (it + 1 >= CHORD_BUDGET),
                               1.0, 0.0)
             return (Nk, Pk, F_N, F_P, err_n2, err_p2, done, its, it + 1,
@@ -569,7 +582,8 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
     if tile is None:
         # Chord mode carries the cached PCR factorization (~56 extra
         # (tile, L) scratch arrays); halve the tile to stay inside VMEM.
-        tile = min(SAMPLE_TILE // 2 if chord else SAMPLE_TILE,
+        tile = min(int(_TILE_ENV) if _TILE_ENV
+                   else (SAMPLE_TILE // 2 if chord else SAMPLE_TILE),
                    -(-batch // 8) * 8)
     padded = -(-batch // tile) * tile
 

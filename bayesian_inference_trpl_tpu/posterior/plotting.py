@@ -24,25 +24,19 @@ def make_logticks(lo: float, hi: float):
     return ticks, [f"$10^{{{t}}}$" for t in ticks]
 
 
-def corner_plot(data: PosteriorData, params: List[str],
+def draw_corner(axes, data: PosteriorData, params: List[str],
                 do_log: Optional[Dict[str, bool]] = None,
                 bounds: Optional[Dict[str, Tuple[float, float]]] = None,
                 marks: Optional[Dict[str, float]] = None,
-                bins: int = 64, top_n_scatter: int = 0, out_file=None):
-    """Corner plot: 1-D marginals on the diagonal, 2-D marginals below.
-
-    Returns the matplotlib Figure.
-    """
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
+                bins: int = 64, top_n_scatter: int = 0):
+    """Fill a k x k axes grid with the corner plot (1-D marginals on the
+    diagonal, 2-D marginals below).  Shared by the one-shot
+    :func:`corner_plot` and the interactive explorer's replot loop
+    (explorer.py), which owns its axes and redraws them in place."""
     do_log = do_log or {}
     bounds = bounds or {}
     marks = marks or {}
     k = len(params)
-    fig, axes = plt.subplots(k, k, figsize=(2.2 * k, 2.2 * k), squeeze=False,
-                             dpi=120)
     tr = {}
     for p in params:
         v = np.log10(data.X[p]) if do_log.get(p) else data.X[p]
@@ -93,6 +87,26 @@ def corner_plot(data: PosteriorData, params: List[str],
                 ax.set_xlabel(px, fontsize=8)
             if j == 0 and i != j:
                 ax.set_ylabel(py, fontsize=8)
+
+
+def corner_plot(data: PosteriorData, params: List[str],
+                do_log: Optional[Dict[str, bool]] = None,
+                bounds: Optional[Dict[str, Tuple[float, float]]] = None,
+                marks: Optional[Dict[str, float]] = None,
+                bins: int = 64, top_n_scatter: int = 0, out_file=None):
+    """Corner plot: 1-D marginals on the diagonal, 2-D marginals below.
+
+    Returns the matplotlib Figure.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    k = len(params)
+    fig, axes = plt.subplots(k, k, figsize=(2.2 * k, 2.2 * k), squeeze=False,
+                             dpi=120)
+    draw_corner(axes, data, params, do_log=do_log, bounds=bounds,
+                marks=marks, bins=bins, top_n_scatter=top_n_scatter)
     fig.tight_layout()
     if out_file:
         fig.savefig(out_file)
