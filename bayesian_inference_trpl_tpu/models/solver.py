@@ -51,7 +51,12 @@ class SolverConfig(NamedTuple):
     #                                ONE Pallas launch, VMEM-resident history;
     #                                falls back to coupled_newton stepping when
     #                                the call needs features the kernel lacks —
-    #                                PL traces, segmentation, state recording)
+    #                                PL traces, segmentation, state recording) |
+    #                                "fused_horizon_chord" (fused_horizon with a
+    #                                VMEM-cached frozen-Jacobian PCR
+    #                                factorization reused across steps; same
+    #                                residual acceptance gates, ~1.4x faster —
+    #                                the production exact-mode method)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -101,6 +106,9 @@ class SolveResult(NamedTuple):
     iters: Optional[jax.Array] = None  # (n_outer,) Newton iterations per step
     hist: Optional[tuple] = None   # final (nh, ph, eh) rolling histories
     sample_iters: Optional[jax.Array] = None  # (batch,) total Newton iters
+    full_solves: Optional[jax.Array] = None  # (batch,) full (Jacobian-refresh)
+    #                                          solves of the sample's tile —
+    #                                          chord-mode telemetry only
 
 
 def pl_observable(N, P, mp: MatParams):

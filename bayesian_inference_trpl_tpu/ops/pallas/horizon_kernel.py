@@ -45,9 +45,6 @@ TIME_BLOCK = 384           # BDF steps per grid step (must be % 6 == 0)
 CHORD_BUDGET = int(os.environ.get("TRPL_CHORD_BUDGET", "3"))
 CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.5"))
 _TILE_ENV = os.environ.get("TRPL_HORIZON_TILE")
-# Diagnostic: make its_out count FULL (Jacobian-refresh) solves instead of
-# all Newton updates, to expose the full:chord mix (bench probes only).
-_COUNT_FULL = bool(int(os.environ.get("TRPL_CHORD_COUNT_FULL", "0")))
 
 
 def _approx_recip(x):
@@ -173,11 +170,14 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     wall-clock (the VPU executes the whole tile), but a cheaper solve
     saves it on every step.
 
-    ``cache_refs`` = (kc1, kc2, fin, dxn, dxp, cval) scratch:
+    ``cache_refs`` = (kc1, kc2, fin, dxn, dxp, cval, fulls) scratch:
       kc1/kc2 (NS*4, tile, L)  sweep elimination multipliers,
       fin (16, tile, L//2)     final pair-solve blocks,
       dxn/dxp (tile, L)        branch-output mailboxes,
-      cval (1, 1) SMEM         cache-valid flag (reset each tile).
+      cval (1, 1) SMEM         cache-valid flag (reset each tile),
+      fulls (1, 1) SMEM        tile-wide full (Jacobian-refresh) solve
+                               counter — the full:chord mix telemetry the
+                               bench roofline estimate consumes.
     Refresh policy: full Newton (+cache rewrite) when the cache is invalid,
     when any active sample's residual fails to halve under a chord step
     (stall), or when the per-step iteration count exceeds the chord budget.
@@ -189,7 +189,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     from ...models.trpl import SKIP_ACCEPT_FACTOR, update_e
     from ..block_tridiag import block_pcr_apply, block_pcr_reduce
 
-    kc1, kc2, fin, dxn, dxp, cval = cache_refs
+    kc1, kc2, fin, dxn, dxp, cval, fulls = cache_refs
     tile, L = Nk.shape
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
@@ -237,6 +237,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
                     fin[8 + c] = inv_B_hi[c]
                     fin[12 + c] = A_hi[c]
                 cval[0, 0] = 1.0
+                fulls[0, 0] = fulls[0, 0] + 1.0
                 dN, dP = block_pcr_apply(cache, (-F_N, -F_P),
                                          use_barrier=False)
                 dxn[:] = dN
@@ -263,8 +264,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             upd = 1.0 - done
             Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
-            its = its + (upd * jnp.where(do_full, 1.0, 0.0)
-                         if _COUNT_FULL else upd)
+            its = its + upd
             guard = tol * 1e3
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
@@ -308,12 +308,23 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
 
 
 def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
-            sse_out, esum_out, conv_out, its_out, n_out, p_out, e_out,
-            nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s, *chord_scratch,
+            *rest,
             max_iters: int, tb: int, num_exp: int, normalize: bool,
             has_mask: bool, n_blocks: int, pred_order: int,
             approx_inv: bool, chord: bool = False):
     from ...models.trpl import MatParams
+
+    # Outputs precede scratch in the pallas_call ref order; chord mode
+    # appends a fulls_out telemetry output (tile-wide full-solve count).
+    n_outs = 8 if chord else 7
+    if chord:
+        (sse_out, esum_out, conv_out, its_out, n_out, p_out, e_out,
+         fulls_out) = rest[:n_outs]
+    else:
+        (sse_out, esum_out, conv_out, its_out, n_out, p_out,
+         e_out) = rest[:n_outs]
+    (nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s,
+     *chord_scratch) = rest[n_outs:]
 
     t_blk = pl.program_id(1)
     tile, L = n0_ref.shape
@@ -334,8 +345,10 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             ph[s] = p0 if s == 0 else z
             eh[s] = z
         if chord:
-            # New sample tile -> the cached factorization is foreign.
-            chord_scratch[-1][0, 0] = 0.0
+            # New sample tile -> the cached factorization is foreign;
+            # telemetry counter restarts with the tile.
+            chord_scratch[-2][0, 0] = 0.0       # cval
+            chord_scratch[-1][0, 0] = 0.0       # fulls
         # t=0 PL (normalization anchor; the t=0 observation term is added
         # by the wrapper — it owns obs.values[:, 0]).
         pl00 = mp.rate[:, None] * (
@@ -448,6 +461,9 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         n_out[:] = nh[0]
         p_out[:] = ph[0]
         e_out[:] = eh[0]
+        if chord:
+            fulls_out[:] = (jnp.zeros_like(its_s[:])
+                            + chord_scratch[-1][0, 0]).astype(jnp.int32)
 
 
 # pl is referenced inside _kernel at trace time; import at module level so
@@ -497,6 +513,11 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
     )
     out_specs = (exp_spec, exp_spec, col_spec, col_spec,
                  field_spec, field_spec, field_spec)
+    if chord:
+        # Tile-wide full (Jacobian-refresh) solve count, broadcast to every
+        # sample of the tile (telemetry: the full:chord mix).
+        out_shapes += (jax.ShapeDtypeStruct((batch, 1), jnp.int32),)
+        out_specs += (col_spec,)
     scratch = [
         pltpu.VMEM((6, tile, L), dtype),    # nh
         pltpu.VMEM((6, tile, L), dtype),    # ph
@@ -516,6 +537,7 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
             pltpu.VMEM((tile, L), dtype),           # dx_n mailbox
             pltpu.VMEM((tile, L), dtype),           # dx_p mailbox
             pltpu.SMEM((1, 1), dtype),              # cache-valid flag
+            pltpu.SMEM((1, 1), dtype),              # full-solve counter
         ]
     kernel = functools.partial(
         _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
@@ -621,7 +643,7 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         # pl.reciprocal is TPU-hardware-backed; interpret mode (CPU
         # testing) keeps exact divides so parity gates stay strict.
         approx_inv = not interpret
-    sse, esum, conv, its, n_f, p_f, e_f = _call(
+    outs = _call(
         mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars,
         max_iters=int(cfg.max_iters), tb=int(tb),
         normalize=bool(obs.normalize), has_mask=has_mask,
@@ -630,6 +652,8 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
         interpret=bool(interpret))
+    sse, esum, conv, its, n_f, p_f, e_f = outs[:7]
+    fulls = outs[7][:, 0] if chord else None
 
     # t=0 observation term (the kernel owns steps 1..T).
     from ...models.solver import _log_pl, pl_observable
@@ -647,4 +671,5 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],
         converged=conv[:batch, 0].astype(bool),
         max_newton_iters=jnp.max(its_b),
-        sse=sse, err_sum=esum, sample_iters=its_b)
+        sse=sse, err_sum=esum, sample_iters=its_b,
+        full_solves=None if fulls is None else fulls[:batch])

@@ -93,7 +93,19 @@ class PosteriorData:
 
     def normalize(self, t_factor: Optional[float] = None):
         """Normalize weights: P = normalize(LL / (num_observations * c))
-        (reference: marginalization_visual.py:589-591)."""
+        (reference: marginalization_visual.py:589-591).
+
+        The reference GUI takes ``c`` as a user-typed "T factor" with no
+        default; headless runs need one.  Default rationale: LL is a sum of
+        squared log-residuals over all retained observation points, so a
+        temperature ∝ the number of points keeps posterior sharpness
+        invariant to how many curves/points a run scores.  The bundled
+        power-scan curves retain ~2000 points each after cutoff/selection,
+        so ``c = num_observations / 2000`` makes the default per-point
+        temperature ~1 for the reference's own data — i.e. what a reference
+        GUI user would typically enter.  Pass ``t_factor`` explicitly for
+        quantitative credible intervals (see ``max_uncertainty`` for the
+        worst-case-over-temperature alternative)."""
         c = t_factor if t_factor is not None else self.num_observations / 2000.0
         self.P = stats.normalize(self.LL / (self.num_observations * c)
                                  if c else self.LL)

@@ -85,7 +85,7 @@ def main(argv=None):
     ap.add_argument("--max-finite-diff", type=int, default=None,
                     help="max samples finite on one path only "
                          "(default: 1%% of num-samples)")
-    ap.add_argument("--exact-method", default="fused_horizon",
+    ap.add_argument("--exact-method", default="fused_horizon_chord",
                     help="solver method for the exact single-phase run")
     args = ap.parse_args(argv)
     from . import apply_platform_env

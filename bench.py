@@ -162,8 +162,10 @@ def main():
     # Exact fixed-dt mode: the full-horizon fused Pallas kernel (ONE launch
     # per horizon, VMEM-resident history + likelihood; the reference's
     # one-launch design point, pvSimPCR.py:227-306) with a cheap-residual
-    # pre-check that skips the Newton solve on smooth steps entirely.
-    exact_method = os.environ.get("BENCH_EXACT_METHOD", "fused_horizon")
+    # pre-check that skips the Newton solve on smooth steps entirely, plus
+    # the chord policy (VMEM-cached PCR factorization reused across steps,
+    # refreshed on residual stall — ops/pallas/horizon_kernel.py).
+    exact_method = os.environ.get("BENCH_EXACT_METHOD", "fused_horizon_chord")
     cfg_exact = cfg._replace(method=exact_method)
 
     @jax.jit
@@ -172,11 +174,11 @@ def main():
         p0 = mat_nd[:, 1:2] + dn[None, :]
         r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_exact, obs=obs,
                   record_pl=False)
-        return r.sse, r.err_sum, r.converged, r.sample_iters
+        return r.sse, r.err_sum, r.converged, r.sample_iters, r.full_solves
 
     sims = batch * (T / 80000.0)
     fast_per_min = sims / _measure(run_fast, mat_nd, dn) * 60.0
-    exact_per_min = exact_iters = None
+    exact_per_min = exact_iters = exact_fulls = None
     if not skip_exact or not headline_fast:
         # Exact (fixed-dt) stepping is ~8x the work; measure on a reduced
         # batch to bound bench wall-clock, normalizing to sims/min.
@@ -184,8 +186,10 @@ def main():
         e_sims = eb * (T / 80000.0)
         exact_per_min = e_sims / _measure(
             run_exact, mat_nd[:eb], dn) * 60.0
-        exact_iters = float(np.asarray(
-            run_exact(mat_nd[:eb], dn)[3]).mean()) / T
+        e_out = run_exact(mat_nd[:eb], dn)
+        exact_iters = float(np.asarray(e_out[3]).mean()) / T
+        if e_out[4] is not None:      # chord telemetry: tile full-solve count
+            exact_fulls = float(np.asarray(e_out[4]).mean()) / T
 
     e2e_samples = int(os.environ.get("BENCH_E2E_SAMPLES", "32768"))
     e2e = None
@@ -214,10 +218,17 @@ def main():
         # workload is all-VPU (no matmuls) with near-zero HBM traffic in
         # the fused-horizon kernel, so the roofline axis is VPU flops.
         # Analytic op counts per sample-step: cheap residual pass ~75
-        # vector ops x L lanes; each Newton solve adds ~1060 (Jacobian +
-        # 6-sweep 2x2-block PCR + update).
+        # vector ops x L lanes; a full Newton solve adds ~1060 (Jacobian +
+        # 6-sweep 2x2-block PCR + update); a chord iteration ~205
+        # (residual + divide-free block_pcr_apply).
         ss_per_s = exact_per_min / 60.0 * 80000.0
-        flops_per_step = 128 * (75 + 1060 * (exact_iters or 1.0))
+        if exact_fulls is not None:
+            chord_its = max((exact_iters or 0.0) - exact_fulls, 0.0)
+            flops_per_step = 128 * (75 + 205 * chord_its
+                                    + 1135 * exact_fulls)
+            out["exact_full_solves_per_step"] = round(exact_fulls, 4)
+        else:
+            flops_per_step = 128 * (75 + 1060 * (exact_iters or 1.0))
         VPU_PEAK_F32 = 3.9e12   # v5e: 8x128 lanes x 4 ALUs x 0.94 GHz
         out["exact_sample_steps_per_s"] = round(ss_per_s, 0)
         out["exact_newton_solves_per_step"] = round(exact_iters, 3)

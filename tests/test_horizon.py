@@ -115,6 +115,16 @@ def test_horizon_chord_matches_solve():
     for a, b in ((r_ch.n, r_ref.n), (r_ch.p, r_ref.p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-12)
+    # Full-solve telemetry: the tile must have refreshed the Jacobian at
+    # least once (first step) and no more often than it updated.
+    fulls = np.asarray(r_ch.full_solves)
+    assert fulls.shape == (mat_nd.shape[0],)
+    assert (fulls >= 1).all()
+    assert fulls.max() <= T * cfg.max_iters
+    # fulls is a tile-wide count: every sample in the (single) tile sees
+    # the same value.
+    assert (fulls == fulls[0]).all()
+    assert r_ref.full_solves is None      # telemetry is chord-only
     # method routing
     cfg_c = cfg._replace(method="fused_horizon_chord")
     r_rt = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_c, obs=obs,
