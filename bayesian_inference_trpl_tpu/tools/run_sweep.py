@@ -79,7 +79,7 @@ def run_oracle(sweep: dict, rtol: float, atol: float) -> dict:
     Ns, Ps, Es, pls = [], [], [], []
     for row in mat:
         t, N, Pv, E, pl = solve_oracle(row, sim.length, sim.time, sim.L,
-                                       sim.num_pl, dn)
+                                       sim.num_pl, dn, rtol=rtol, atol=atol)
         Ns.append(N.T[steps])                     # (n_snap, L)
         Ps.append(Pv.T[steps])
         Es.append(E.T[steps])
