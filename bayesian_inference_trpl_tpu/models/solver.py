@@ -109,6 +109,12 @@ class SolveResult(NamedTuple):
     full_solves: Optional[jax.Array] = None  # (batch,) full (Jacobian-refresh)
     #                                          solves of the sample's tile —
     #                                          chord-mode telemetry only
+    tile_body_iters: Optional[jax.Array] = None  # (batch,) executed Newton
+    #                                          body iterations of the sample's
+    #                                          tile (chord + full; the tile
+    #                                          runs every lane regardless of
+    #                                          per-sample masks) — chord-mode
+    #                                          telemetry for the bench roofline
 
 
 def pl_observable(N, P, mp: MatParams):

@@ -68,7 +68,8 @@ def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     final polish update first).  Masks are carried as full-width f32 arrays
     (see ops/pallas/newton_kernel.py for the Mosaic layout rationale)."""
     from ...models.newton import (residuals_and_errors, residuals_and_jacobian)
-    from ...models.trpl import SKIP_ACCEPT_FACTOR, update_e
+    from ...models.trpl import (SKIP_ACCEPT_FACTOR, STEP_TOL_RESIDUAL_GUARD,
+                                update_e)
     from ..block_tridiag import block_pcr_solve
 
     # Check-then-solve, mirroring models.newton.coupled_newton_step, with
@@ -119,7 +120,7 @@ def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
             its = its + upd
-            guard = tol * 1e3   # STEP_TOL_RESIDUAL_GUARD: stalls stay flagged
+            guard = tol * STEP_TOL_RESIDUAL_GUARD   # stalls stay flagged
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
                                              keepdims=True)) & \
@@ -170,14 +171,16 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     wall-clock (the VPU executes the whole tile), but a cheaper solve
     saves it on every step.
 
-    ``cache_refs`` = (kc1, kc2, fin, dxn, dxp, cval, fulls) scratch:
+    ``cache_refs`` = (kc1, kc2, fin, dxn, dxp, cval, fulls, execs) scratch:
       kc1/kc2 (NS*4, tile, L)  sweep elimination multipliers,
       fin (16, tile, L//2)     final pair-solve blocks,
       dxn/dxp (tile, L)        branch-output mailboxes,
       cval (1, 1) SMEM         cache-valid flag (reset each tile),
       fulls (1, 1) SMEM        tile-wide full (Jacobian-refresh) solve
-                               counter — the full:chord mix telemetry the
-                               bench roofline estimate consumes.
+                               counter,
+      execs (1, 1) SMEM        tile-wide executed Newton body iterations
+                               (chord + full) — with fulls, the telemetry
+                               the bench roofline estimate consumes.
     Refresh policy: full Newton (+cache rewrite) when the cache is invalid,
     when any active sample's residual fails to halve under a chord step
     (stall), or when the per-step iteration count exceeds the chord budget.
@@ -186,10 +189,11 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     iterate there directly — no polish dance), state-settled step_tol with
     residual guard, plain tol at iteration exhaustion."""
     from ...models.newton import (residuals_and_errors, residuals_and_jacobian)
-    from ...models.trpl import SKIP_ACCEPT_FACTOR, update_e
+    from ...models.trpl import (SKIP_ACCEPT_FACTOR, STEP_TOL_RESIDUAL_GUARD,
+                                update_e)
     from ..block_tridiag import block_pcr_apply, block_pcr_reduce
 
-    kc1, kc2, fin, dxn, dxp, cval, fulls = cache_refs
+    kc1, kc2, fin, dxn, dxp, cval, fulls, execs = cache_refs
     tile, L = Nk.shape
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
@@ -218,6 +222,11 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
         def body(carry):
             Nk, Pk, F_N, F_P, err_n, err_p, done, its, it, ffull = carry
             do_full = ffull > 0.5
+            # Tile-wide executed body iterations (chord OR full): the VPU
+            # runs every lane of the tile regardless of per-sample masks,
+            # so this — not the per-sample mean of `its` — is what the
+            # bench roofline's flop estimate must consume.
+            execs[0, 0] = execs[0, 0] + 1.0
 
             @pl.when(do_full)
             def _full():
@@ -265,7 +274,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
             its = its + upd
-            guard = tol * 1e3
+            guard = tol * STEP_TOL_RESIDUAL_GUARD
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
                                              keepdims=True)) & \
@@ -311,20 +320,21 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             *rest,
             max_iters: int, tb: int, num_exp: int, normalize: bool,
             has_mask: bool, n_blocks: int, pred_order: int,
-            approx_inv: bool, chord: bool = False):
+            approx_inv: bool, t_real: int, chord: bool = False):
     from ...models.trpl import MatParams
 
     # Outputs precede scratch in the pallas_call ref order; chord mode
-    # appends a fulls_out telemetry output (tile-wide full-solve count).
-    n_outs = 8 if chord else 7
+    # appends fulls_out / execs_out telemetry outputs (tile-wide full-solve
+    # and executed-body-iteration counts).
+    n_outs = 10 if chord else 8
     if chord:
-        (sse_out, esum_out, conv_out, its_out, n_out, p_out, e_out,
-         fulls_out) = rest[:n_outs]
+        (sse_out, esum_out, conv_out, its_out, maxit_out, n_out, p_out,
+         e_out, fulls_out, execs_out) = rest[:n_outs]
     else:
-        (sse_out, esum_out, conv_out, its_out, n_out, p_out,
+        (sse_out, esum_out, conv_out, its_out, maxit_out, n_out, p_out,
          e_out) = rest[:n_outs]
-    (nh, ph, eh, pl0_s, sse_s, esum_s, conv_s, its_s,
-     *chord_scratch) = rest[n_outs:]
+    (nh, ph, eh, snap_n, snap_p, snap_e, pl0_s, sse_s, esum_s, conv_s,
+     its_s, maxit_s, *chord_scratch) = rest[n_outs:]
 
     t_blk = pl.program_id(1)
     tile, L = n0_ref.shape
@@ -346,9 +356,10 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             eh[s] = z
         if chord:
             # New sample tile -> the cached factorization is foreign;
-            # telemetry counter restarts with the tile.
-            chord_scratch[-2][0, 0] = 0.0       # cval
-            chord_scratch[-1][0, 0] = 0.0       # fulls
+            # telemetry counters restart with the tile.
+            chord_scratch[-3][0, 0] = 0.0       # cval
+            chord_scratch[-2][0, 0] = 0.0       # fulls
+            chord_scratch[-1][0, 0] = 0.0       # execs
         # t=0 PL (normalization anchor; the t=0 observation term is added
         # by the wrapper — it owns obs.values[:, 0]).
         pl00 = mp.rate[:, None] * (
@@ -359,6 +370,7 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         esum_s[:] = jnp.zeros_like(esum_s)
         conv_s[:] = jnp.ones_like(conv_s)
         its_s[:] = jnp.zeros_like(its_s)
+        maxit_s[:] = jnp.zeros_like(maxit_s)
 
     def one_step(t, slot_new, slots_hist):
         """Advance step t -> t+1.  slot_new = (t+1) % 6 and
@@ -411,7 +423,25 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         nh[slot_new] = Nn
         ph[slot_new] = Pn
         eh[slot_new] = En
-        its_s[:] = its_s[:] + its[:, :1]
+        # The published final state is the state at the REAL horizon
+        # (cfg.num_steps): the kernel's mask-padded tail (up to tb-1 extra
+        # steps when T % tb != 0) keeps stepping, but callers like
+        # solve_multiphase consume n/p/e as the exact phase-boundary
+        # state, so step t_real-1's output is snapshotted once.  A
+        # one-shot pl.when copy costs a scalar compare per step — unlike
+        # a per-step select over the (tile, L) fields, it leaves the hot
+        # loop's vector op count untouched.
+        @pl.when(t == t_real - 1)
+        def _snap():
+            snap_n[:] = Nn
+            snap_p[:] = Pn
+            snap_e[:] = En
+        # Iteration telemetry likewise stops at the real horizon ((tile, 1)
+        # column ops — negligible).
+        livef = (t < t_real).astype(Nn.dtype)
+        its_live = its[:, :1] * livef
+        its_s[:] = its_s[:] + its_live
+        maxit_s[:] = jnp.maximum(maxit_s[:], its_live)
 
         # ---- Fused likelihood at observation point t+1.
         c = t - t_blk * tb          # column in this block's obs table
@@ -457,12 +487,16 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         esum_out[:] = esum_s[:]
         conv_out[:] = conv_s[:].astype(jnp.int32)
         its_out[:] = its_s[:].astype(jnp.int32)
-        # T % 6 == 0 (T = n_blocks * tb, tb % 6 == 0) -> final slot is 0.
-        n_out[:] = nh[0]
-        p_out[:] = ph[0]
-        e_out[:] = eh[0]
+        maxit_out[:] = maxit_s[:].astype(jnp.int32)
+        # The snapshot holds the state at the REAL horizon (written by
+        # step t_real-1; equal to the final rolling slot when T % tb == 0).
+        n_out[:] = snap_n[:]
+        p_out[:] = snap_p[:]
+        e_out[:] = snap_e[:]
         if chord:
             fulls_out[:] = (jnp.zeros_like(its_s[:])
+                            + chord_scratch[-2][0, 0]).astype(jnp.int32)
+            execs_out[:] = (jnp.zeros_like(its_s[:])
                             + chord_scratch[-1][0, 0]).astype(jnp.int32)
 
 
@@ -475,11 +509,11 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
-                              "chord", "interpret"))
+                              "chord", "t_real", "interpret"))
 def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
           pred_order: int, tile: int, approx_inv: bool, chord: bool,
-          interpret: bool):
+          t_real: int, interpret: bool):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
     n_tiles = batch // tile
@@ -507,26 +541,33 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
         jax.ShapeDtypeStruct((num_exp, batch), dtype),   # err_sum
         jax.ShapeDtypeStruct((batch, 1), jnp.int32),     # converged
         jax.ShapeDtypeStruct((batch, 1), jnp.int32),     # sample iters
+        jax.ShapeDtypeStruct((batch, 1), jnp.int32),     # max per-step iters
         jax.ShapeDtypeStruct((batch, L), dtype),         # N
         jax.ShapeDtypeStruct((batch, L), dtype),         # P
         jax.ShapeDtypeStruct((batch, L), dtype),         # E
     )
-    out_specs = (exp_spec, exp_spec, col_spec, col_spec,
+    out_specs = (exp_spec, exp_spec, col_spec, col_spec, col_spec,
                  field_spec, field_spec, field_spec)
     if chord:
-        # Tile-wide full (Jacobian-refresh) solve count, broadcast to every
-        # sample of the tile (telemetry: the full:chord mix).
-        out_shapes += (jax.ShapeDtypeStruct((batch, 1), jnp.int32),)
-        out_specs += (col_spec,)
+        # Tile-wide full (Jacobian-refresh) solve and executed-body
+        # iteration counts, broadcast to every sample of the tile
+        # (telemetry: the full:chord mix for the bench roofline).
+        out_shapes += (jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+                       jax.ShapeDtypeStruct((batch, 1), jnp.int32))
+        out_specs += (col_spec, col_spec)
     scratch = [
         pltpu.VMEM((6, tile, L), dtype),    # nh
         pltpu.VMEM((6, tile, L), dtype),    # ph
         pltpu.VMEM((6, tile, L), dtype),    # eh
+        pltpu.VMEM((tile, L), dtype),       # snapshot N at the real horizon
+        pltpu.VMEM((tile, L), dtype),       # snapshot P
+        pltpu.VMEM((tile, L), dtype),       # snapshot E
         pltpu.VMEM((tile, 1), dtype),       # pl0
         pltpu.VMEM((num_exp, tile), dtype),  # sse
         pltpu.VMEM((num_exp, tile), dtype),  # err_sum
         pltpu.VMEM((tile, 1), dtype),       # conv (1.0 = converged)
         pltpu.VMEM((tile, 1), dtype),       # iteration counts
+        pltpu.VMEM((tile, 1), dtype),       # max per-step iterations
     ]
     if chord:
         ns = max(L.bit_length() - 2, 0)     # PCR sweeps (L=128 -> 6)
@@ -538,11 +579,13 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
             pltpu.VMEM((tile, L), dtype),           # dx_p mailbox
             pltpu.SMEM((1, 1), dtype),              # cache-valid flag
             pltpu.SMEM((1, 1), dtype),              # full-solve counter
+            pltpu.SMEM((1, 1), dtype),              # executed-body counter
         ]
     kernel = functools.partial(
         _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
         normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
-        pred_order=pred_order, approx_inv=approx_inv, chord=chord)
+        pred_order=pred_order, approx_inv=approx_inv, t_real=t_real,
+        chord=chord)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -586,8 +629,12 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
       obs: FusedObs on the fine step grid (values (num_exp, T+1)).
 
     Returns a SolveResult with sse/err_sum/converged/sample_iters and the
-    final state at the PADDED horizon (equal to the real horizon when
-    T % tb == 0).  pl is None (fused likelihood only).
+    final state at the REAL horizon (cfg.num_steps): when T % tb != 0 the
+    kernel still runs mask-padded steps up to the block boundary, but the
+    published state, iteration counts, and likelihood terms freeze at
+    step T, so callers (solve_multiphase phase boundaries, continue-style
+    segmentation) see exactly the scan path's semantics.  pl is None
+    (fused likelihood only).
     """
     from ...models.solver import SolveResult
     if tb % 6:
@@ -627,9 +674,14 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
 
     bdf_tab = jnp.asarray(BDF_TABLE, dtype)
     step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
-    scalars = jnp.array([[cfg.tol, step_tol,
-                          0.0 if obs.normalize else float(obs.log_scale),
-                          obs.min_val]], dtype)
+    # log_scale may be a traced scalar (the production runner passes it as
+    # a jitted argument) — never float() it; assemble scalars with jnp.
+    log_scale = (jnp.zeros((), dtype) if obs.normalize
+                 else jnp.asarray(obs.log_scale, dtype).reshape(()))
+    scalars = jnp.stack([jnp.asarray(cfg.tol, dtype),
+                         jnp.asarray(step_tol, dtype),
+                         log_scale,
+                         jnp.asarray(obs.min_val, dtype)]).reshape(1, 4)
 
     mat_t = jnp.transpose(jnp.asarray(mat_nd, dtype))      # (12, batch)
     n0 = n_init.astype(dtype)
@@ -651,9 +703,10 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
                     "geometric": 3}[cfg.predictor],
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
-        interpret=bool(interpret))
-    sse, esum, conv, its, n_f, p_f, e_f = outs[:7]
-    fulls = outs[7][:, 0] if chord else None
+        t_real=int(T), interpret=bool(interpret))
+    sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
+    fulls = outs[8][:, 0] if chord else None
+    execs = outs[9][:, 0] if chord else None
 
     # t=0 observation term (the kernel owns steps 1..T).
     from ...models.solver import _log_pl, pl_observable
@@ -670,6 +723,7 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
     return SolveResult(
         pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],
         converged=conv[:batch, 0].astype(bool),
-        max_newton_iters=jnp.max(its_b),
+        max_newton_iters=jnp.max(maxit[:batch, 0]),
         sse=sse, err_sum=esum, sample_iters=its_b,
-        full_solves=None if fulls is None else fulls[:batch])
+        full_solves=None if fulls is None else fulls[:batch],
+        tile_body_iters=None if execs is None else execs[:batch])

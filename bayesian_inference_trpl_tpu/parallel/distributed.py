@@ -43,15 +43,25 @@ def initialize(coordinator_address: str, num_processes: int,
                 len(jax.devices()))
 
 
+_env_initialized = False
+
+
 def maybe_initialize_from_env() -> bool:
     """Initialize from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
     JAX_PROCESS_ID when set (the SLURM-array replacement: point every host
-    at the same coordinator).  Returns True when distributed mode is on."""
+    at the same coordinator).  Returns True when distributed mode is on.
+    Idempotent: a second ``bayes()`` call in the same process (config
+    sweeps, retries) must not re-run ``jax.distributed.initialize``,
+    which raises once the runtime is wired."""
+    global _env_initialized
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not addr:
         return False
+    if _env_initialized:
+        return True
     initialize(addr, int(os.environ["JAX_NUM_PROCESSES"]),
                int(os.environ["JAX_PROCESS_ID"]))
+    _env_initialized = True
     return True
 
 
@@ -66,15 +76,23 @@ def is_primary() -> bool:
     return process_index() == 0
 
 
-def make_global_array(arr, sharding):
-    """Build a (possibly multi-host) global array from a HOST-GLOBAL numpy
+def make_global_array(arr, sharding, dtype=None):
+    """Build a (possibly multi-host) global array from a HOST-GLOBAL
     array: every process passes the same full ``arr`` and serves only the
-    shards addressable on its devices.  Single-process: plain device_put."""
+    shards addressable on its devices.  Single-process: plain device_put —
+    inputs that are already device arrays (e.g. a jnp excitation profile)
+    stay on device instead of round-tripping through numpy."""
     import jax
     import numpy as np
     if jax.process_count() == 1:
+        if dtype is not None and getattr(arr, "dtype", None) != np.dtype(dtype):
+            if isinstance(arr, jax.Array):
+                import jax.numpy as jnp
+                arr = jnp.asarray(arr, dtype)
+            else:
+                arr = np.asarray(arr, dtype)
         return jax.device_put(arr, sharding)
-    arr = np.asarray(arr)
+    arr = np.asarray(arr, dtype)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])
 

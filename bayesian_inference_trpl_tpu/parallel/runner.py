@@ -105,13 +105,32 @@ class ShardedRunner:
 
     def _shard(self, arr, dtype):
         from .distributed import make_global_array
-        return make_global_array(np.asarray(arr, dtype),
-                                 sample_sharding(self.mesh))
+        return make_global_array(arr, sample_sharding(self.mesh), dtype)
 
     def _replicate(self, arr, dtype):
         from .distributed import make_global_array
-        return make_global_array(np.asarray(arr, dtype),
-                                 replicated(self.mesh))
+        return make_global_array(arr, replicated(self.mesh), dtype)
+
+    def _make_harvest(self, n, out, conv, chunk_done):
+        """Harvest closure shared by the on-grid and off-grid paths: block
+        on a dispatched chunk and fold it into the output.  The device sync
+        (a cross-host allgather when multi-process) counts as solver time;
+        host-side accumulation and checkpoint writes count as misc."""
+        def harvest(ci, ll, ok):
+            lo = ci * self.chunk
+            size = min(lo + self.chunk, n) - lo
+            t0 = time.perf_counter()
+            from .distributed import allgather_to_host
+            ll = allgather_to_host(ll)            # device sync point
+            ok = allgather_to_host(ok)
+            self.timers.solver_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out[:, lo:lo + size] += ll[:, :size]
+            conv[lo:lo + size] = ok[:size]
+            if chunk_done is not None:
+                chunk_done(ci, ll[:, :size])
+            self.timers.misc_time += time.perf_counter() - t0
+        return harvest
 
     def run_curve(self, X, sim: SimParams, ini_par, obs_log_values,
                   normalize: bool = False, dtype=None,
@@ -141,36 +160,17 @@ class ShardedRunner:
         mag_all = np.asarray(X)[:, 12]
         dn = initial_excess_density(sim, ini_par, "points", dtype=dtype)
         dn = self._replicate(dn, dtype)
-        obs_rep = self._replicate(np.asarray(obs_log_values), dtype)
+        obs_rep = self._replicate(obs_log_values, dtype)
         log_scale = jnp.asarray(pl_log_scale(sim), dtype)
         cfg = sim.solver_config()
         fast = sim.fast_phases
         mask_rep = (None if obs_mask is None
-                    else self._replicate(np.asarray(obs_mask), dtype))
+                    else self._replicate(obs_mask, dtype))
 
         if out is None:
             out = np.zeros((num_exp, n))
         conv = np.ones(n, dtype=bool)
-        n_chunks = -(-n // self.chunk)
-
-        def harvest(ci, ll, ok):
-            """Block on a dispatched chunk and fold it into the output.
-            The device sync counts as solver time; host-side accumulation
-            and checkpoint writes count as misc."""
-            lo = ci * self.chunk
-            size = min(lo + self.chunk, n) - lo
-            t0 = time.perf_counter()
-            from .distributed import allgather_to_host
-            ll = allgather_to_host(ll)            # device sync point
-            ok = allgather_to_host(ok)            # (cross-host merge when
-            #                                       multi-process)
-            self.timers.solver_time += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out[:, lo:lo + size] += ll[:, :size]
-            conv[lo:lo + size] = ok[:size]
-            if chunk_done is not None:
-                chunk_done(ci, ll[:, :size])
-            self.timers.misc_time += time.perf_counter() - t0
+        harvest = self._make_harvest(n, out, conv, chunk_done)
 
         # Double-buffered dispatch: chunk ci+1's host prep and shard
         # placement overlap chunk ci's device execution (jax dispatch is
@@ -254,21 +254,7 @@ class ShardedRunner:
         if out is None:
             out = np.zeros((num_exp, n))
         conv = np.ones(n, dtype=bool)
-
-        def harvest(ci, ll, ok):
-            lo = ci * self.chunk
-            size = min(lo + self.chunk, n) - lo
-            t0 = time.perf_counter()
-            from .distributed import allgather_to_host
-            ll = allgather_to_host(ll)
-            ok = allgather_to_host(ok)
-            self.timers.solver_time += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out[:, lo:lo + size] += ll[:, :size]
-            conv[lo:lo + size] = ok[:size]
-            if chunk_done is not None:
-                chunk_done(ci, ll[:, :size])
-            self.timers.misc_time += time.perf_counter() - t0
+        harvest = self._make_harvest(n, out, conv, chunk_done)
 
         def dispatch(mat_c, mag_c):
             return _chunk_likelihood_offgrid(

@@ -174,11 +174,12 @@ def main():
         p0 = mat_nd[:, 1:2] + dn[None, :]
         r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_exact, obs=obs,
                   record_pl=False)
-        return r.sse, r.err_sum, r.converged, r.sample_iters, r.full_solves
+        return (r.sse, r.err_sum, r.converged, r.sample_iters,
+                r.full_solves, r.tile_body_iters)
 
     sims = batch * (T / 80000.0)
     fast_per_min = sims / _measure(run_fast, mat_nd, dn) * 60.0
-    exact_per_min = exact_iters = exact_fulls = None
+    exact_per_min = exact_iters = exact_fulls = exact_execs = None
     if not skip_exact or not headline_fast:
         # Exact (fixed-dt) stepping is ~8x the work; measure on a reduced
         # batch to bound bench wall-clock, normalizing to sims/min.
@@ -190,6 +191,7 @@ def main():
         exact_iters = float(np.asarray(e_out[3]).mean()) / T
         if e_out[4] is not None:      # chord telemetry: tile full-solve count
             exact_fulls = float(np.asarray(e_out[4]).mean()) / T
+            exact_execs = float(np.asarray(e_out[5]).mean()) / T
 
     e2e_samples = int(os.environ.get("BENCH_E2E_SAMPLES", "32768"))
     e2e = None
@@ -217,16 +219,19 @@ def main():
         # Utilization evidence (see docs/PRECISION.md "Roofline"): the
         # workload is all-VPU (no matmuls) with near-zero HBM traffic in
         # the fused-horizon kernel, so the roofline axis is VPU flops.
-        # Analytic op counts per sample-step: cheap residual pass ~75
-        # vector ops x L lanes; a full Newton solve adds ~1060 (Jacobian +
-        # 6-sweep 2x2-block PCR + update); a chord iteration ~205
-        # (residual + divide-free block_pcr_apply).
+        # Analytic op counts per sample-step, using TILE-wide counters
+        # (the VPU executes every lane of a tile regardless of per-sample
+        # masks, so per-sample means would undercount): hoisted cheap
+        # residual check ~75 vector ops x L lanes every step; each
+        # executed Newton body iteration ~205 (divide-free
+        # block_pcr_apply + re-check); each full Jacobian refresh adds
+        # ~930 (assembly + 6-sweep 2x2-block PCR reduction with divides).
         ss_per_s = exact_per_min / 60.0 * 80000.0
-        if exact_fulls is not None:
-            chord_its = max((exact_iters or 0.0) - exact_fulls, 0.0)
-            flops_per_step = 128 * (75 + 205 * chord_its
-                                    + 1135 * exact_fulls)
+        if exact_execs is not None:
+            flops_per_step = 128 * (75 + 205 * exact_execs
+                                    + 930 * exact_fulls)
             out["exact_full_solves_per_step"] = round(exact_fulls, 4)
+            out["exact_tile_iters_per_step"] = round(exact_execs, 4)
         else:
             flops_per_step = 128 * (75 + 1060 * (exact_iters or 1.0))
         VPU_PEAK_F32 = 3.9e12   # v5e: 8x128 lanes x 4 ALUs x 0.94 GHz

@@ -80,7 +80,33 @@ def test_horizon_padding_and_mask():
                   record_pl=False)
     r_ker = solve_horizon_fused(mat_nd, n0, p0, cfg, obs_m, tb=12,
                                 interpret=True)
-    _compare(r_ker, r_ref, state_tol=None)   # state is at the padded horizon
+    # The kernel freezes the published state (and iteration telemetry) at
+    # the REAL horizon, so the padded tail is invisible to callers —
+    # solve_multiphase consumes n/p/e as the exact phase-boundary state.
+    _compare(r_ker, r_ref)
+    np.testing.assert_array_equal(np.asarray(r_ker.sample_iters),
+                                  np.asarray(r_ref.sample_iters))
+    np.testing.assert_array_equal(np.asarray(r_ker.max_newton_iters),
+                                  np.asarray(r_ref.max_newton_iters))
+
+
+def test_horizon_traced_log_scale_jits():
+    """log_scale arrives as a TRACED scalar on the production runner path
+    (a jitted positional argument); the kernel wrapper must not float() it."""
+    T = 12
+    mat_nd, n0, p0, obs, cfg = _problem(T)
+
+    @jax.jit
+    def run(mat_nd, n0, p0, values, log_scale):
+        o = FusedObs(values=values, log_scale=log_scale, min_val=1e-300)
+        r = solve_horizon_fused(mat_nd, n0, p0, cfg, o, tb=12,
+                                interpret=True)
+        return r.sse
+    sse = run(mat_nd, n0, p0, obs.values, obs.log_scale)
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+    np.testing.assert_allclose(np.asarray(sse), np.asarray(r_ref.sse),
+                               rtol=1e-9)
 
 
 def test_horizon_normalize():
