@@ -612,7 +612,7 @@ def _pad_axis(x, n, axis=0, edge=True):
 
 
 def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
-                        tb: int = TIME_BLOCK, tile: int = None,
+                        tb: int = None, tile: int = None,
                         approx_inv: bool = None, chord: bool = False,
                         interpret: bool = False):
     """Fused full-horizon solve + likelihood; drop-in for the
@@ -637,6 +637,10 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
     (fused likelihood only).
     """
     from ...models.solver import SolveResult
+    if tb is None:
+        tb = TIME_BLOCK        # module attr, resolved at call time so the
+        #                        solve() dispatch path is testable with a
+        #                        small block (monkeypatch TIME_BLOCK)
     if tb % 6:
         raise ValueError(f"time block {tb} must be divisible by 6")
     if cfg.pl_stride != 1:

@@ -133,6 +133,30 @@ def test_multiphase_matches_single_phase(problem):
     assert abs(es_m - es_f) < 0.05
 
 
+def test_multiphase_fused_horizon_fine_phase(problem, monkeypatch):
+    """cfg.method="fused_horizon" routes the FINE phase through the Pallas
+    kernel; its fine-step count (112) is not a multiple of the kernel time
+    block, so this gates the real-horizon state snapshot: the coarse
+    phases consume r1.n/p/e as the exact phase-boundary state, and a
+    padded-horizon state would silently shift every coarse observation."""
+    from bayesian_inference_trpl_tpu.ops.pallas import horizon_kernel
+    monkeypatch.setattr(horizon_kernel, "TIME_BLOCK", 12)
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    sched = ((1, 112), (8, 64), (16, 64))
+    r_ref = solve_multiphase(mat_nd, n0, p0, e0, cfg, obs, sched)
+    cfg_f = cfg._replace(method="fused_horizon")
+    r_f = solve_multiphase(mat_nd, n0, p0, e0, cfg_f, obs, sched)
+    np.testing.assert_allclose(np.asarray(r_f.sse), np.asarray(r_ref.sse),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_f.err_sum),
+                               np.asarray(r_ref.err_sum), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r_f.converged),
+                                  np.asarray(r_ref.converged))
+    for a, b in ((r_f.n, r_ref.n), (r_f.p, r_ref.p), (r_f.e, r_ref.e)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-12)
+
+
 def test_multiphase_schedule_validation(problem):
     sim, mat_nd, n0, p0, e0, cfg, obs = problem
     with pytest.raises(ValueError):   # does not sum to T
