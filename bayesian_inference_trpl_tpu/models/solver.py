@@ -155,7 +155,7 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
     Nk = jax.lax.dynamic_index_in_dim(nh, k, keepdims=False)
     Pk = jax.lax.dynamic_index_in_dim(ph, k, keepdims=False)
     Ek = jax.lax.dynamic_index_in_dim(eh, k, keepdims=False)
-    if cfg.predictor in ("linear", "quadratic"):
+    if cfg.predictor in ("linear", "quadratic", "geometric"):
         # Extrapolated initial iterate: same fixed point (convergence is
         # still measured against the assembled BDF system), fewer
         # iterations than the reference's previous-state predictor.
@@ -179,6 +179,17 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
                          - jax.lax.dynamic_index_in_dim(ph, ko2, keepdims=False))
             Nx = Nx + ramp2 * d2n
             Px = Px + ramp2 * d2p
+        if cfg.predictor == "geometric":
+            # Geometric: X * (X / X_prev) — exact for local exponential
+            # decay (the PL tail's regime) and free of the f32 cancellation
+            # that makes the quadratic difference predictor worse than
+            # linear there.  Falls back to the linear extrapolation where
+            # the previous state is non-positive.  Mirrors the Pallas
+            # horizon kernel's pred_order=3 (ops/pallas/horizon_kernel.py).
+            Nm = jax.lax.dynamic_index_in_dim(nh, ko, keepdims=False)
+            Pm = jax.lax.dynamic_index_in_dim(ph, ko, keepdims=False)
+            Nx = jnp.where(Nm > 0, Nk * (Nk / jnp.where(Nm > 0, Nm, 1.0)), Nx)
+            Px = jnp.where(Pm > 0, Pk * (Pk / jnp.where(Pm > 0, Pm, 1.0)), Px)
         # Positivity safeguard: on steep measured excitation profiles the
         # first stiff steps change the small-density cells by O(100%), and
         # extrapolation overshoots them negative — the undamped Newton then
@@ -249,14 +260,12 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
                    and pl0 is None and cfg.pl_stride == 1
                    and cfg.record_state_stride is None and not cfg.record_iters)
         if fusable:
-            # NOTE: the kernel evolves E from zero, which every production
-            # init mode satisfies (e_init enters only through the BDF
-            # history and is zero-initialized there too).
             from ..ops.pallas.horizon_kernel import solve_horizon_fused
             return solve_horizon_fused(
                 mat_nd, n_init, p_init, cfg, obs,
                 chord=cfg.method == "fused_horizon_chord",
-                interpret=jax.default_backend() != "tpu")
+                interpret=jax.default_backend() != "tpu",
+                e_init=e_init)
         cfg = cfg._replace(method="coupled_newton")
 
     mp = MatParams.from_array(mat_nd)

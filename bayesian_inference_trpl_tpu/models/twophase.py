@@ -220,9 +220,28 @@ def solve_multiphase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     acc = (r1.converged, r1.max_newton_iters, r1.sample_iters,
            r1.sse, r1.err_sum)
     t_off = T1
+    # cfg.method="fused_horizon[_chord]" routes the coarse phases through
+    # the persistent-VMEM Pallas kernel too (one launch per phase; the
+    # fine phase already dispatched inside solve()); the scan path below
+    # is the reference implementation it is gated against
+    # (tests/test_twophase.py).
+    use_kernel = cfg.method in ("fused_horizon", "fused_horizon_chord")
     for S, n_fine in schedule[1:]:
-        n, p, e, acc = _coarse_phase(mat_nd, n, p, e, cfg, obs, pl0, acc,
-                                     t_off, n_fine, S)
+        if use_kernel:
+            from ..ops.pallas.horizon_kernel import solve_coarse_phase_fused
+            r = solve_coarse_phase_fused(
+                mat_nd, n, p, e, cfg, obs, pl0, t_off, n_fine, S,
+                chord=cfg.method == "fused_horizon_chord",
+                interpret=jax.default_backend() != "tpu")
+            n, p, e = r.n, r.p, r.e
+            conv, max_it, samp_it, sse, esum = acc
+            acc = (conv & r.converged,
+                   jnp.maximum(max_it, r.max_newton_iters),
+                   samp_it + r.sample_iters,
+                   sse + r.sse, esum + r.err_sum)
+        else:
+            n, p, e, acc = _coarse_phase(mat_nd, n, p, e, cfg, obs, pl0,
+                                         acc, t_off, n_fine, S)
         t_off += n_fine
     conv, max_it, samp_it, sse, esum = acc
     return SolveResult(pl=None, n=n, p=p, e=e, converged=conv,

@@ -44,6 +44,13 @@ TIME_BLOCK = 384           # BDF steps per grid step (must be % 6 == 0)
 # on-TPU tuning sweeps; the defaults are the shipped, gate-validated values.
 CHORD_BUDGET = int(os.environ.get("TRPL_CHORD_BUDGET", "3"))
 CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.5"))
+# Chord acceptance is tighter than the full path's SKIP_ACCEPT_FACTOR:
+# chord converges linearly, so the accepted residual sits just under the
+# threshold instead of quadratically below it (the full path's polish
+# update); a 10x tighter gate restores the polished-acceptance accuracy
+# budget at the cost of ~2 extra (cheap) chord iterations per solve step
+# (gate: seed-1 rms 5.5e-4 -> 3.6e-4 at identical wall time).
+CHORD_SKIP_TIGHTEN = float(os.environ.get("TRPL_CHORD_SKIP_TIGHTEN", "0.1"))
 _TILE_ENV = os.environ.get("TRPL_HORIZON_TILE")
 
 
@@ -198,7 +205,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
 
-    skip_tol = tol * SKIP_ACCEPT_FACTOR
+    skip_tol = tol * SKIP_ACCEPT_FACTOR * CHORD_SKIP_TIGHTEN
     (F_N0, F_P0), (err_n0, err_p0) = residuals_and_errors(
         Nk, Pk, bN, bP, bE, mp, a0)
     err_n0 = err_n0[:, None]
@@ -275,13 +282,19 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
             its = its + upd
             guard = tol * STEP_TOL_RESIDUAL_GUARD
+            # State-settled acceptance counts FULL Newton steps only: a
+            # tiny full step implies proximity to the solution, but a tiny
+            # CHORD step merely means the frozen Jacobian stopped
+            # contracting — accepting those lets samples freeze at
+            # residuals up to the stall guard (1e3 x tol) and drifts the
+            # trajectory (gate regression: seed-1 rms 1.2e-3 vs 2.5e-4).
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
                                              keepdims=True)) & \
                       (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Pk), axis=-1,
                                              keepdims=True)) & \
-                      (err_n < guard) & (err_p < guard)
+                      (err_n < guard) & (err_p < guard) & do_full
             (F_N, F_P), (err_n2, err_p2) = residuals_and_errors(
                 Nk, Pk, bN, bP, bE, mp, a0)
             err_n2 = err_n2[:, None]
@@ -316,12 +329,22 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     return Nk, Pk, Ek, done, its
 
 
-def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
-            *rest,
+def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
             max_iters: int, tb: int, num_exp: int, normalize: bool,
             has_mask: bool, n_blocks: int, pred_order: int,
-            approx_inv: bool, t_real: int, chord: bool = False):
+            approx_inv: bool, t_real: int, chord: bool = False,
+            stride: int = 1, ext_pl0: bool = False):
     from ...models.trpl import MatParams
+
+    # Optional inputs (static layout): dense-output weight table + optional
+    # per-fine-point mask table (coarse phases) and an external
+    # normalization anchor.
+    in_rest = list(in_rest)
+    wtab_ref = in_rest.pop(0) if stride > 1 else None
+    vmask_ref = in_rest.pop(0) if (stride > 1 and has_mask) else None
+    pl0_ref = in_rest.pop(0) if ext_pl0 else None
+    bdf_ref, sc_ref = in_rest[0], in_rest[1]
+    rest = in_rest[2:]
 
     # Outputs precede scratch in the pallas_call ref order; chord mode
     # appends fulls_out / execs_out telemetry outputs (tile-wide full-solve
@@ -334,7 +357,12 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         (sse_out, esum_out, conv_out, its_out, maxit_out, n_out, p_out,
          e_out) = rest[:n_outs]
     (nh, ph, eh, snap_n, snap_p, snap_e, pl0_s, sse_s, esum_s, conv_s,
-     its_s, maxit_s, *chord_scratch) = rest[n_outs:]
+     its_s, maxit_s, *extra_scratch) = rest[n_outs:]
+    # Coarse phases (stride > 1) prepend the dense-output window scratch
+    # (lpw) to the chord scratch.
+    if stride > 1:
+        lpw, extra_scratch = extra_scratch[0], extra_scratch[1:]
+    chord_scratch = extra_scratch
 
     t_blk = pl.program_id(1)
     tile, L = n0_ref.shape
@@ -343,6 +371,21 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
     step_tol = sc_ref[0, 1]
     log_scale = sc_ref[0, 2]
     min_val = sc_ref[0, 3]
+
+    if stride > 1:
+        # Cubic/quadratic/linear dense-output weight rows, streamed in as a
+        # (3, S, 4) VMEM table (models/twophase._lagrange_weight_table —
+        # Pallas kernels cannot capture dense constants): W[r] is (S, 4);
+        # row r = min(c, 2) is selected per step with two scalar-broadcast
+        # selects (the early rows only matter for c < 2).
+        W0 = wtab_ref[0]
+        W1 = wtab_ref[1]
+        W2 = wtab_ref[2]
+
+    def _log_pl_col(pl_col):
+        if normalize:
+            return jnp.log10(jnp.maximum(pl_col / pl0_s[:], min_val))
+        return jnp.log10(jnp.maximum(pl_col, min_val)) + log_scale
 
     # ---- First time block of a tile: initialize the persistent scratch.
     @pl.when(t_blk == 0)
@@ -353,7 +396,7 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         for s in range(6):
             nh[s] = n0 if s == 0 else z
             ph[s] = p0 if s == 0 else z
-            eh[s] = z
+            eh[s] = z if s != 0 else e0_ref[:]
         if chord:
             # New sample tile -> the cached factorization is foreign;
             # telemetry counters restart with the tile.
@@ -361,16 +404,27 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
             chord_scratch[-2][0, 0] = 0.0       # fulls
             chord_scratch[-1][0, 0] = 0.0       # execs
         # t=0 PL (normalization anchor; the t=0 observation term is added
-        # by the wrapper — it owns obs.values[:, 0]).
+        # by the wrapper — it owns obs.values[:, 0]).  Coarse phases pass
+        # the RUN-t=0 anchor in instead (phase-start PL is not the run
+        # start; models/solver.py pl0 semantics).
         pl00 = mp.rate[:, None] * (
             jnp.sum(n0 * p0, axis=-1, keepdims=True)
             - L * (mp.n0 * mp.p0)[:, None])
-        pl0_s[:] = pl00
+        pl0_s[:] = pl0_ref[:] if ext_pl0 else pl00
         sse_s[:] = jnp.zeros_like(sse_s)
         esum_s[:] = jnp.zeros_like(esum_s)
         conv_s[:] = jnp.ones_like(conv_s)
         its_s[:] = jnp.zeros_like(its_s)
         maxit_s[:] = jnp.zeros_like(maxit_s)
+        if stride > 1:
+            # Dense-output window over the trailing 4 coarse log-PL nodes
+            # (models/twophase._coarse_phase lp_win0): slots 0..2 start at
+            # zero (their weights are zero while r < 2), slot 3 holds the
+            # phase-start log-PL.
+            zc = pl00 * 0.0
+            for s in range(3):
+                lpw[s] = zc
+            lpw[3] = _log_pl_col(pl00)
 
     def one_step(t, slot_new, slots_hist):
         """Advance step t -> t+1.  slot_new = (t+1) % 6 and
@@ -443,26 +497,48 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
         its_s[:] = its_s[:] + its_live
         maxit_s[:] = jnp.maximum(maxit_s[:], its_live)
 
-        # ---- Fused likelihood at observation point t+1.
+        # ---- Fused likelihood at observation point t+1 (stride 1) or at
+        # the `stride` fine observation points of coarse interval t
+        # (dense output, models/twophase._coarse_phase).
         c = t - t_blk * tb          # column in this block's obs table
         pl_t = mp.rate[:, None] * (
             jnp.sum(Nn * Pn, axis=-1, keepdims=True)
             - L * (mp.n0 * mp.p0)[:, None])
-        if normalize:
-            lp = jnp.log10(jnp.maximum(pl_t / pl0_s[:], min_val))
-        else:
-            lp = jnp.log10(jnp.maximum(pl_t, min_val)) + log_scale
+        lp = _log_pl_col(pl_t)
         ok_col = done[:, :1]
         w_any = None
-        for e_i in range(num_exp):
-            o = obs_ref[e_i, c]
-            err = lp - o
-            if has_mask:
-                m = msk_ref[e_i, c]
-                err = err * m
-                w_any = m if w_any is None else jnp.maximum(w_any, m)
-            sse_s[e_i, :] = sse_s[e_i, :] + (err * err)[:, 0]
-            esum_s[e_i, :] = esum_s[e_i, :] + err[:, 0]
+        if stride == 1:
+            for e_i in range(num_exp):
+                o = obs_ref[e_i, c]
+                err = lp - o
+                if has_mask:
+                    m = msk_ref[e_i, c]
+                    err = err * m
+                    w_any = m if w_any is None else jnp.maximum(w_any, m)
+                sse_s[e_i, :] = sse_s[e_i, :] + (err * err)[:, 0]
+                esum_s[e_i, :] = esum_s[e_i, :] + err[:, 0]
+        else:
+            # Roll the window, append the new coarse node, reconstruct
+            # log-PL at the S fine offsets as a (tile, S) lane-dim op:
+            # lp_fine = sum_a lpw[a] * W[r, :, a].
+            lpw[0] = lpw[1]
+            lpw[1] = lpw[2]
+            lpw[2] = lpw[3]
+            lpw[3] = lp
+            Wr = jnp.where(t < 1, W0, jnp.where(t < 2, W1, W2))   # (S, 4)
+            lp_fine = (lpw[0] * Wr[:, 0][None, :]
+                       + lpw[1] * Wr[:, 1][None, :]
+                       + lpw[2] * Wr[:, 2][None, :]
+                       + lpw[3] * Wr[:, 3][None, :])              # (tile, S)
+            for e_i in range(num_exp):
+                o = obs_ref[e_i, c]                               # (S,)
+                err = lp_fine - o[None, :]
+                if has_mask:
+                    err = err * vmask_ref[e_i, c][None, :]
+                    m = msk_ref[e_i, c]       # step weight = max over S
+                    w_any = m if w_any is None else jnp.maximum(w_any, m)
+                sse_s[e_i] = sse_s[e_i] + err * err
+                esum_s[e_i] = esum_s[e_i] + err
         if has_mask:
             # Padding-only steps (zero weight in every experiment) cannot
             # poison convergence (models/solver.py pad_only semantics).
@@ -483,8 +559,12 @@ def _kernel(mat_ref, n0_ref, p0_ref, obs_ref, msk_ref, bdf_ref, sc_ref,
     # ---- Last time block: publish results.
     @pl.when(t_blk == n_blocks - 1)
     def _publish():
-        sse_out[:] = sse_s[:]
-        esum_out[:] = esum_s[:]
+        if stride > 1:
+            sse_out[:] = jnp.sum(sse_s[:], axis=-1)
+            esum_out[:] = jnp.sum(esum_s[:], axis=-1)
+        else:
+            sse_out[:] = sse_s[:]
+            esum_out[:] = esum_s[:]
         conv_out[:] = conv_s[:].astype(jnp.int32)
         its_out[:] = its_s[:].astype(jnp.int32)
         maxit_out[:] = maxit_s[:].astype(jnp.int32)
@@ -509,11 +589,12 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
-                              "chord", "t_real", "interpret"))
-def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
+                              "chord", "t_real", "interpret", "stride"))
+def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
+          scalars, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
           pred_order: int, tile: int, approx_inv: bool, chord: bool,
-          t_real: int, interpret: bool):
+          t_real: int, interpret: bool, stride: int):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
     n_tiles = batch // tile
@@ -521,6 +602,7 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
     n_blocks = T // tb
     grid = (n_tiles, n_blocks)
     dtype = n0.dtype
+    ext_pl0 = pl0_in is not None
 
     zero = np.int32(0)
     tile_row = lambda i, t: (i, zero)                  # noqa: E731
@@ -529,6 +611,12 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
                             memory_space=pltpu.VMEM)
     obs_spec = pl.BlockSpec((num_exp, tb), lambda i, t: (zero, t),
                             memory_space=pltpu.SMEM)
+    # Coarse phases stream the per-fine-point observation/mask tables as
+    # (num_exp, tb, S) VMEM blocks (lane dim = the S fine offsets); the
+    # SMEM msk table then carries the per-STEP weights for conv freezing.
+    obs3_spec = pl.BlockSpec((num_exp, tb, stride),
+                             lambda i, t: (zero, t, zero),
+                             memory_space=pltpu.VMEM)
     bdf_spec = pl.BlockSpec((5, 6), lambda i, t: (zero, zero),
                             memory_space=pltpu.SMEM)
     sc_spec = pl.BlockSpec((1, 4), lambda i, t: (zero, zero),
@@ -563,12 +651,16 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
         pltpu.VMEM((tile, L), dtype),       # snapshot P
         pltpu.VMEM((tile, L), dtype),       # snapshot E
         pltpu.VMEM((tile, 1), dtype),       # pl0
-        pltpu.VMEM((num_exp, tile), dtype),  # sse
-        pltpu.VMEM((num_exp, tile), dtype),  # err_sum
+        (pltpu.VMEM((num_exp, tile), dtype) if stride == 1
+         else pltpu.VMEM((num_exp, tile, stride), dtype)),   # sse
+        (pltpu.VMEM((num_exp, tile), dtype) if stride == 1
+         else pltpu.VMEM((num_exp, tile, stride), dtype)),   # err_sum
         pltpu.VMEM((tile, 1), dtype),       # conv (1.0 = converged)
         pltpu.VMEM((tile, 1), dtype),       # iteration counts
         pltpu.VMEM((tile, 1), dtype),       # max per-step iterations
     ]
+    if stride > 1:
+        scratch.append(pltpu.VMEM((4, tile, 1), dtype))      # lp window
     if chord:
         ns = max(L.bit_length() - 2, 0)     # PCR sweeps (L=128 -> 6)
         scratch += [
@@ -585,17 +677,40 @@ def _call(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars, *,
         _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
         normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
         pred_order=pred_order, approx_inv=approx_inv, t_real=t_real,
-        chord=chord)
+        chord=chord, stride=stride, ext_pl0=ext_pl0)
+    in_specs = [mat_spec, field_spec, field_spec, field_spec,
+                obs3_spec if stride > 1 else obs_spec, obs_spec]
+    args = [mat_t, n0, p0, e0, obs_sc, msk_sc]
+    if stride > 1:
+        from ...models.twophase import _lagrange_weight_table
+        in_specs.append(pl.BlockSpec((3, stride, 4),
+                                     lambda i, t: (zero, zero, zero),
+                                     memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(_lagrange_weight_table(stride), dtype))
+    if stride > 1 and has_mask:
+        in_specs.append(obs3_spec)
+        args.append(vmask_sc)
+    if ext_pl0:
+        in_specs.append(col_spec)
+        args.append(pl0_in)
+    in_specs += [bdf_spec, sc_spec]
+    args += [bdf_tab, scalars]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[mat_spec, field_spec, field_spec, obs_spec, obs_spec,
-                  bdf_spec, sc_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars)
+        # The full-Newton body's PCR temporaries stack-allocate past the
+        # 16 MB default scoped-VMEM budget at tile=256; the explicit
+        # scratch above is small (<8 MB non-chord), so raising the scoped
+        # limit is free real estate on a 128 MB-VMEM v5e core.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
 
 
 def _pad_axis(x, n, axis=0, edge=True):
@@ -614,15 +729,16 @@ def _pad_axis(x, n, axis=0, edge=True):
 def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
                         tb: int = None, tile: int = None,
                         approx_inv: bool = None, chord: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False, e_init=None):
     """Fused full-horizon solve + likelihood; drop-in for the
     ``solve(..., obs=obs, record_pl=False)`` chunk program
     (models/solver.py) on the fixed-dt path.
 
     Args:
       mat_nd: (batch, 12) nondimensionalized parameters.
-      n_init/p_init: (batch, L) initial state (E starts at zero, as every
-        production init mode does).
+      n_init/p_init: (batch, L) initial state (e_init defaults to zero, as
+        every production init mode does; multiphase coarse phases pass the
+        carried field).
       cfg: SolverConfig; num_steps need not divide tb (the horizon is
         mask-padded up to a multiple, and convergence freezes at the real
         horizon).
@@ -695,19 +811,21 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         n0 = _pad_axis(n0, padded)
         p0 = _pad_axis(p0, padded)
 
+    e0 = (jnp.zeros_like(n0) if e_init is None
+          else _pad_axis(e_init.astype(dtype), padded))
     if approx_inv is None:
         # pl.reciprocal is TPU-hardware-backed; interpret mode (CPU
         # testing) keeps exact divides so parity gates stay strict.
         approx_inv = not interpret
     outs = _call(
-        mat_t, n0, p0, obs_sc, msk_sc, bdf_tab, scalars,
+        mat_t, n0, p0, e0, obs_sc, msk_sc, None, None, bdf_tab, scalars,
         max_iters=int(cfg.max_iters), tb=int(tb),
         normalize=bool(obs.normalize), has_mask=has_mask,
         pred_order={"previous": 0, "linear": 1, "quadratic": 2,
                     "geometric": 3}[cfg.predictor],
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
-        t_real=int(T), interpret=bool(interpret))
+        t_real=int(T), interpret=bool(interpret), stride=1)
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None
@@ -729,5 +847,148 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         converged=conv[:batch, 0].astype(bool),
         max_newton_iters=jnp.max(maxit[:batch, 0]),
         sse=sse, err_sum=esum, sample_iters=its_b,
+        full_solves=None if fulls is None else fulls[:batch],
+        tile_body_iters=None if execs is None else execs[:batch])
+
+
+def _coarse_time_block(C: int) -> int:
+    """Time block for a C-coarse-step phase.
+
+    Coarse phases are short (production ladder: C <= ~1300), so the whole
+    phase runs as ONE time block: tb = C rounded up to a multiple of 24
+    (the rolling-slot unroll needs %6, the (num_exp, tb, S) VMEM
+    observation block's sublane dim needs %8) — when the block covers the
+    whole array every Mosaic tiling constraint is satisfied by equality,
+    and mask-padded tail steps are minimal (e.g. C=1024 -> 8).  Very long
+    phases fall back to multi-block streaming at tb=384 = lcm(6, 128)
+    (the per-step SMEM tables' lane dim needs %128 when blocked)."""
+    if C <= 4096:
+        return -(-C // 24) * 24
+    return 384
+
+
+def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
+                             t_off: int, n_fine: int, S: int,
+                             tb: int = None, tile: int = None,
+                             approx_inv: bool = None, chord: bool = False,
+                             interpret: bool = False):
+    """One coarse phase of the multiphase stride ladder in a single Pallas
+    launch; drop-in for ``models.twophase._coarse_phase`` (same dt
+    rescaling, BDF order-ramp restart, and in-log-space cubic dense output
+    of the likelihood at every fine observation point — see that function
+    for the semantics this kernel mirrors).
+
+    The scan path launches per-BDF-step XLA programs, so the rolling
+    histories round-trip HBM every coarse step; here they stay VMEM-resident
+    for the whole phase and the dense-output window (4 trailing log-PL
+    nodes) lives in a (4, tile, 1) scratch, with the (num_exp, C, S)
+    fine-point observation table streamed per time block.
+
+    Args:
+      mat_nd: (batch, 12) FINE-dt nondimensionalized parameters (rescaled
+        to the coarse step internally, twophase.rescale_dt).
+      n_init/p_init/e_init: (batch, L) phase-start state.
+      obs: FusedObs on the FINE grid covering the full run (values
+        (num_exp, T_total+1)); this phase consumes points
+        (t_off, t_off + n_fine].
+      pl0: (batch,) run-t=0 fine-dt PL (self-normalization anchor).
+
+    Returns a SolveResult for THIS phase only (likelihood terms over the
+    phase's observation points, conv starting fresh); the caller merges
+    with the carried accumulators.
+    """
+    from ...models.solver import SolveResult
+    from ...models.trpl import BDF_TABLE
+    from ...models.twophase import rescale_dt
+
+    if n_fine % S:
+        raise ValueError(f"phase length {n_fine} not divisible by S={S}")
+    C = n_fine // S
+    dtype = n_init.dtype
+    batch, L = n_init.shape
+    if tb is None:
+        tb = _coarse_time_block(C)
+    if tb % 24:
+        raise ValueError(f"coarse time block {tb} must be divisible by 24")
+    Cp = -(-C // tb) * tb
+
+    if tile is None:
+        tile = min(int(_TILE_ENV) if _TILE_ENV
+                   else (SAMPLE_TILE // 2 if chord else SAMPLE_TILE),
+                   -(-batch // 8) * 8)
+    padded = -(-batch // tile) * tile
+
+    # Phase observation table: (num_exp, C, S) fine points, zero-padded to
+    # the block boundary; the SMEM per-step weights carry max-over-S.
+    values = jnp.asarray(obs.values, dtype)
+    num_exp = values.shape[0]
+    sl = values[:, t_off + 1:t_off + n_fine + 1].reshape(num_exp, C, S)
+    obs_sc = _pad_axis(sl, Cp, axis=1, edge=False)
+    if obs.mask is not None:
+        vm = jnp.asarray(obs.mask, dtype)[:, t_off + 1:t_off + n_fine + 1]
+        vm = vm.reshape(num_exp, C, S)
+    elif Cp != C:
+        vm = jnp.ones((num_exp, C, S), dtype)
+    else:
+        vm = None
+    has_mask = vm is not None
+    if has_mask:
+        vmask_sc = _pad_axis(vm, Cp, axis=1, edge=False)
+        msk_sc = jnp.max(vmask_sc, axis=-1)                # (num_exp, Cp)
+    else:
+        vmask_sc = None
+        msk_sc = jnp.ones((num_exp, Cp), dtype)
+
+    # Coarse-dt units: rate columns rescale; nondimensional PL scales with
+    # dt, so the log offset (and the normalization anchor) shift by S.
+    mat_c = rescale_dt(jnp.asarray(mat_nd, dtype), S)
+    bdf_tab = jnp.asarray(BDF_TABLE, dtype)
+    step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
+    if obs.normalize:
+        log_scale = jnp.zeros((), dtype)
+    else:
+        log_scale = (jnp.asarray(obs.log_scale, dtype).reshape(())
+                     - jnp.asarray(np.log10(S), dtype))
+    scalars = jnp.stack([jnp.asarray(cfg.tol, dtype),
+                         jnp.asarray(step_tol, dtype),
+                         log_scale,
+                         jnp.asarray(obs.min_val, dtype)]).reshape(1, 4)
+
+    mat_t = jnp.transpose(mat_c)                           # (12, batch)
+    n0 = n_init.astype(dtype)
+    p0 = p_init.astype(dtype)
+    e0 = e_init.astype(dtype)
+    pl0_in = None
+    if obs.normalize:
+        pl0_in = (jnp.asarray(pl0, dtype) * S).reshape(batch, 1)
+    if padded != batch:
+        mat_t = _pad_axis(mat_t, padded, axis=1)
+        n0 = _pad_axis(n0, padded)
+        p0 = _pad_axis(p0, padded)
+        e0 = _pad_axis(e0, padded)
+        if pl0_in is not None:
+            pl0_in = _pad_axis(pl0_in, padded)
+
+    if approx_inv is None:
+        approx_inv = not interpret
+    outs = _call(
+        mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
+        scalars,
+        max_iters=int(cfg.max_iters), tb=int(tb),
+        normalize=bool(obs.normalize), has_mask=has_mask,
+        pred_order={"previous": 0, "linear": 1, "quadratic": 2,
+                    "geometric": 3}[cfg.predictor],
+        tile=int(tile),
+        approx_inv=bool(approx_inv), chord=bool(chord),
+        t_real=int(C), interpret=bool(interpret), stride=int(S))
+    sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
+    fulls = outs[8][:, 0] if chord else None
+    execs = outs[9][:, 0] if chord else None
+    return SolveResult(
+        pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],
+        converged=conv[:batch, 0].astype(bool),
+        max_newton_iters=jnp.max(maxit[:batch, 0]),
+        sse=sse[:, :batch], err_sum=esum[:, :batch],
+        sample_iters=its[:batch, 0],
         full_solves=None if fulls is None else fulls[:batch],
         tile_body_iters=None if execs is None else execs[:batch])

@@ -111,7 +111,7 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0,
 def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
              max_stride=64, steps_per_phase=512,
              tol_exp_fast=4.0, seed=0, verbose=True, t_exact=None,
-             profile="synthetic"):
+             profile="synthetic", method=None, predictor="linear"):
     """Score the shipped fast f32 path against precomputed exact curves
     ``lp64`` (from :func:`exact_curves`, same batch/T/seed)."""
     import jax
@@ -136,11 +136,13 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
     schedule = geometric_schedule(T, fine_steps, base_stride=base_stride,
                                   coarse_steps_per_phase=steps_per_phase,
                                   max_stride=max_stride)
-    method = ("coupled_newton_pallas" if jax.default_backend() == "tpu"
-              else "coupled_newton")
-    # The SHIPPED production configuration: linear predictor + stride ladder.
+    if method is None:
+        method = ("coupled_newton_pallas" if jax.default_backend() == "tpu"
+                  else "coupled_newton")
+    # Default = the SHIPPED production configuration (stride ladder; method
+    # and predictor overridable for A/B validation of config changes).
     cfg32 = SolverConfig(num_steps=T, pl_stride=1, tol=10.0 ** -tol_exp_fast,
-                         max_iters=8, method=method, predictor="linear",
+                         max_iters=8, method=method, predictor=predictor,
                          step_tol=1e-6)
     t0 = time.perf_counter()
 
@@ -187,6 +189,13 @@ def main(argv=None):
                          "reused if it exists, else computed and saved")
     ap.add_argument("--exact-only", action="store_true",
                     help="internal: compute exact curves and exit")
+    ap.add_argument("--method", default=None,
+                    help="fast-path solver method override (default: the "
+                         "shipped scan method for the backend; e.g. "
+                         "fused_horizon_chord for the kernel path)")
+    ap.add_argument("--predictor", default="linear",
+                    help="Newton predictor override (previous | linear | "
+                         "quadratic | geometric)")
     ap.add_argument("--profile", default="synthetic",
                     choices=["synthetic", "power_scan"],
                     help="excitation profiles: smooth synthetic or the "
@@ -236,7 +245,8 @@ def main(argv=None):
         lp64 = np.load(exact_file)
 
     report = run_gate(lp64, batch=args.batch, T=args.T, seed=args.seed,
-                      t_exact=t_exact, profile=args.profile)
+                      t_exact=t_exact, profile=args.profile,
+                      method=args.method, predictor=args.predictor)
     ok = (report["rms_log10_pl_max"] <= args.tol
           and report["non_converged"] == 0)
     if not ok:

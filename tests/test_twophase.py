@@ -157,6 +157,36 @@ def test_multiphase_fused_horizon_fine_phase(problem, monkeypatch):
                                    rtol=1e-6, atol=1e-12)
 
 
+def test_multiphase_fused_horizon_normalized_masked(problem, monkeypatch):
+    """Coarse phases through the kernel with self-normalization (the
+    external run-t=0 anchor, scaled by the stride to coarse-dt units) and a
+    zero-weight mask tail (bucket_horizons padding semantics): likelihood
+    terms must match the scan path and masked-tail Newton failures must not
+    flip conv."""
+    from bayesian_inference_trpl_tpu.ops.pallas import horizon_kernel
+    monkeypatch.setattr(horizon_kernel, "TIME_BLOCK", 12)
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    # Normalized observations: self-normalize the fixture curve; mask off
+    # the last 40 fine points (a shorter "real" curve padded to the grid).
+    vals = np.asarray(obs.values)
+    mask = np.ones_like(vals)
+    mask[:, -40:] = 0.0
+    obs_n = FusedObs(values=jnp.asarray(vals - vals[:, :1]),
+                     log_scale=obs.log_scale, min_val=1e-12,
+                     normalize=True, mask=jnp.asarray(mask))
+    sched = ((1, 112), (8, 64), (16, 64))
+    r_ref = solve_multiphase(mat_nd, n0, p0, e0, cfg, obs_n, sched)
+    cfg_f = cfg._replace(method="fused_horizon")
+    r_f = solve_multiphase(mat_nd, n0, p0, e0, cfg_f, obs_n, sched)
+    np.testing.assert_allclose(np.asarray(r_f.sse), np.asarray(r_ref.sse),
+                               rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_f.err_sum),
+                               np.asarray(r_ref.err_sum), rtol=1e-6,
+                               atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(r_f.converged),
+                                  np.asarray(r_ref.converged))
+
+
 def test_multiphase_schedule_validation(problem):
     sim, mat_nd, n0, p0, e0, cfg, obs = problem
     with pytest.raises(ValueError):   # does not sum to T
