@@ -57,6 +57,19 @@ class SolverConfig(NamedTuple):
     #                                factorization reused across steps; same
     #                                residual acceptance gates, ~1.4x faster —
     #                                the production exact-mode method)
+    chord_strict: bool = False     # chord acceptance profile (fused_horizon_chord
+    #                                only).  False (default): state-settled
+    #                                samples freeze on cheap chord steps when
+    #                                their residual is within
+    #                                CHORD_SETTLE_GUARD x tol — the exact-mode
+    #                                throughput configuration (~1.75x; adds
+    #                                ~1e-3 rms log10-PL drift vs full-Newton
+    #                                f32, still 3x below the reference's own
+    #                                f32 scheme).  True: settle acceptance
+    #                                requires a full-Newton step and the
+    #                                chord skip threshold tightens 10x — the
+    #                                gate-validated profile solve_multiphase
+    #                                forces for the production fast path.
 
 
 @jax.tree_util.register_pytree_node_class

@@ -200,6 +200,12 @@ def solve_multiphase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     the single-phase solver's job)."""
     if cfg.pl_stride != 1:
         raise ValueError("multi-phase solver requires pl_stride == 1")
+    # The fast path's 5e-4 accuracy gate requires the STRICT chord
+    # acceptance profile (settle on full Newton steps only, 10x tighter
+    # chord skip); the exact single-phase mode keeps the throughput
+    # profile (SolverConfig.chord_strict, horizon_kernel._chord_knobs).
+    if cfg.method == "fused_horizon_chord" and not cfg.chord_strict:
+        cfg = cfg._replace(chord_strict=True)
     schedule = tuple((int(s), int(n)) for s, n in schedule)
     _validate_schedule(schedule, cfg.num_steps)
     dtype = n_init.dtype

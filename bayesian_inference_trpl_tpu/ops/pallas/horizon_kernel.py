@@ -50,7 +50,35 @@ CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.5"))
 # update); a 10x tighter gate restores the polished-acceptance accuracy
 # budget at the cost of ~2 extra (cheap) chord iterations per solve step
 # (gate: seed-1 rms 5.5e-4 -> 3.6e-4 at identical wall time).
-CHORD_SKIP_TIGHTEN = float(os.environ.get("TRPL_CHORD_SKIP_TIGHTEN", "0.1"))
+CHORD_SKIP_TIGHTEN = float(os.environ.get("TRPL_CHORD_SKIP_TIGHTEN", "1.0"))
+# State-settled (step_tol) acceptance on CHORD iterations requires the
+# residual within CHORD_SETTLE_GUARD x tol — far tighter than the full
+# step's STEP_TOL_RESIDUAL_GUARD (1e3).  Rationale: a tiny FULL Newton
+# step implies proximity to the solution, but a tiny CHORD step can mean
+# the frozen Jacobian merely stopped contracting; accepting those at
+# residuals up to 1e3 x tol drifted the trajectory (seed-1 gate rms
+# 1.19e-3).  Requiring a full solve for every settled sample instead
+# made every step pay a Jacobian refresh (exact mode 12.1k -> 6.9k
+# sims/min).  The defaults here are the exact-mode throughput profile:
+# the genuinely settled decayed tail (residual stalled at the f32 floor,
+# just above tol) freezes on cheap chord steps, while far-from-solution
+# frozen-Jacobian stalls (residual >> tol) still force a refresh.  The
+# gate-validated STRICT profile (solve_multiphase /
+# SolverConfig.chord_strict) disables chord settle acceptance and
+# tightens the chord skip threshold 10x — seed-1 accuracy gate 3.6e-4
+# vs 1.2e-3 for the throughput profile, which the 5e-4-gated fast path
+# cannot afford but the exact mode can (f32 single-phase stepping is
+# already ~1e-3 off f64; the reference's own f32 scheme sits at 4.7e-3).
+CHORD_SETTLE_GUARD = float(os.environ.get("TRPL_CHORD_SETTLE_GUARD", "10.0"))
+STRICT_SETTLE_GUARD = 0.0
+STRICT_SKIP_TIGHTEN = 0.1
+
+
+def _chord_knobs(cfg):
+    """(settle_guard, skip_tighten) for a SolverConfig's chord profile."""
+    if getattr(cfg, "chord_strict", False):
+        return STRICT_SETTLE_GUARD, STRICT_SKIP_TIGHTEN
+    return CHORD_SETTLE_GUARD, CHORD_SKIP_TIGHTEN
 _TILE_ENV = os.environ.get("TRPL_HORIZON_TILE")
 
 
@@ -164,7 +192,8 @@ def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
 
 
 def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
-                        cache_refs, approx_inv: bool):
+                        cache_refs, approx_inv: bool,
+                        settle_guard: float, skip_tighten: float):
     """Frozen-Jacobian (chord) Newton with a VMEM-resident cached PCR
     factorization that PERSISTS ACROSS TIME STEPS.
 
@@ -205,7 +234,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
 
-    skip_tol = tol * SKIP_ACCEPT_FACTOR * CHORD_SKIP_TIGHTEN
+    skip_tol = tol * SKIP_ACCEPT_FACTOR * skip_tighten
     (F_N0, F_P0), (err_n0, err_p0) = residuals_and_errors(
         Nk, Pk, bN, bP, bE, mp, a0)
     err_n0 = err_n0[:, None]
@@ -281,20 +310,21 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             Nk = Nk + upd * (jnp.maximum(Nk + dN, 0.05 * Nk) - Nk)
             Pk = Pk + upd * (jnp.maximum(Pk + dP, 0.05 * Pk) - Pk)
             its = its + upd
-            guard = tol * STEP_TOL_RESIDUAL_GUARD
-            # State-settled acceptance counts FULL Newton steps only: a
-            # tiny full step implies proximity to the solution, but a tiny
-            # CHORD step merely means the frozen Jacobian stopped
-            # contracting — accepting those lets samples freeze at
-            # residuals up to the stall guard (1e3 x tol) and drifts the
-            # trajectory (gate regression: seed-1 rms 1.2e-3 vs 2.5e-4).
+            # State-settled acceptance: full Newton steps get the loose
+            # STEP_TOL_RESIDUAL_GUARD (a tiny full step implies proximity
+            # to the solution); chord steps get the much tighter
+            # settle_guard (a tiny chord step under a stale Jacobian does
+            # not — see the module constants' rationale; 0.0 in the strict
+            # profile disables chord settle acceptance entirely).
+            guard = tol * jnp.where(do_full, STEP_TOL_RESIDUAL_GUARD,
+                                    settle_guard)
             ok_step = (jnp.max(jnp.abs(dN), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Nk), axis=-1,
                                              keepdims=True)) & \
                       (jnp.max(jnp.abs(dP), axis=-1, keepdims=True)
                        <= step_tol * jnp.max(jnp.abs(Pk), axis=-1,
                                              keepdims=True)) & \
-                      (err_n < guard) & (err_p < guard) & do_full
+                      (err_n < guard) & (err_p < guard)
             (F_N, F_P), (err_n2, err_p2) = residuals_and_errors(
                 Nk, Pk, bN, bP, bE, mp, a0)
             err_n2 = err_n2[:, None]
@@ -333,7 +363,8 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
             max_iters: int, tb: int, num_exp: int, normalize: bool,
             has_mask: bool, n_blocks: int, pred_order: int,
             approx_inv: bool, t_real: int, chord: bool = False,
-            stride: int = 1, ext_pl0: bool = False):
+            stride: int = 1, ext_pl0: bool = False,
+            settle_guard: float = 0.0, skip_tighten: float = 1.0):
     from ...models.trpl import MatParams
 
     # Optional inputs (static layout): dense-output weight table + optional
@@ -469,7 +500,8 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
         elif chord:
             Nn, Pn, En, done, its = _newton_solve_chord(
                 Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
-                chord_scratch, approx_inv=approx_inv)
+                chord_scratch, approx_inv=approx_inv,
+                settle_guard=settle_guard, skip_tighten=skip_tighten)
         else:
             Nn, Pn, En, done, its = _newton_solve(
                 Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
@@ -589,12 +621,14 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
 @functools.partial(
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
-                              "chord", "t_real", "interpret", "stride"))
+                              "chord", "t_real", "interpret", "stride",
+                              "settle_guard", "skip_tighten"))
 def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
           scalars, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
           pred_order: int, tile: int, approx_inv: bool, chord: bool,
-          t_real: int, interpret: bool, stride: int):
+          t_real: int, interpret: bool, stride: int,
+          settle_guard: float = 0.0, skip_tighten: float = 1.0):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
     n_tiles = batch // tile
@@ -677,7 +711,8 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         _kernel, max_iters=max_iters, tb=tb, num_exp=num_exp,
         normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
         pred_order=pred_order, approx_inv=approx_inv, t_real=t_real,
-        chord=chord, stride=stride, ext_pl0=ext_pl0)
+        chord=chord, stride=stride, ext_pl0=ext_pl0,
+        settle_guard=settle_guard, skip_tighten=skip_tighten)
     in_specs = [mat_spec, field_spec, field_spec, field_spec,
                 obs3_spec if stride > 1 else obs_spec, obs_spec]
     args = [mat_t, n0, p0, e0, obs_sc, msk_sc]
@@ -817,6 +852,7 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         # pl.reciprocal is TPU-hardware-backed; interpret mode (CPU
         # testing) keeps exact divides so parity gates stay strict.
         approx_inv = not interpret
+    settle_guard, skip_tighten = _chord_knobs(cfg)
     outs = _call(
         mat_t, n0, p0, e0, obs_sc, msk_sc, None, None, bdf_tab, scalars,
         max_iters=int(cfg.max_iters), tb=int(tb),
@@ -825,7 +861,8 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
                     "geometric": 3}[cfg.predictor],
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
-        t_real=int(T), interpret=bool(interpret), stride=1)
+        t_real=int(T), interpret=bool(interpret), stride=1,
+        settle_guard=settle_guard, skip_tighten=skip_tighten)
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None
@@ -971,6 +1008,7 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
 
     if approx_inv is None:
         approx_inv = not interpret
+    settle_guard, skip_tighten = _chord_knobs(cfg)
     outs = _call(
         mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         scalars,
@@ -980,7 +1018,8 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
                     "geometric": 3}[cfg.predictor],
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
-        t_real=int(C), interpret=bool(interpret), stride=int(S))
+        t_real=int(C), interpret=bool(interpret), stride=int(S),
+        settle_guard=settle_guard, skip_tighten=skip_tighten)
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None
