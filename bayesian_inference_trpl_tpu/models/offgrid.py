@@ -148,12 +148,16 @@ def build_offgrid_tables(times: Sequence[np.ndarray],
 
 
 def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
-                   tbl, pl0, acc, S: int):
+                   tbl, pl0, acc, S: int, live):
     """One phase at stride S, scoring the slot-table observation points.
 
     ``obs_meta`` carries only the scalars (log_scale, min_val, normalize);
     ``tbl`` = (W, V, M) jnp arrays for this phase; ``acc`` as in
-    twophase._coarse_phase."""
+    twophase._coarse_phase; ``live`` (C,) bool marks steps at or before the
+    last real observation — Newton failures on later (padded-tail) steps
+    carry no likelihood weight and must not poison conv (solver.py pad_only
+    semantics), but failures on *interior* unobserved steps corrupt the
+    trajectory that later observation points are scored from, so they do."""
     W_all, V_all, M_all = tbl
     C = W_all.shape[0]
     dtype = n0.dtype
@@ -172,7 +176,7 @@ def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
 
     def step(carry, xs):
         nh, ph, eh, lp_win, conv, max_it, samp_it, sse, esum = carry
-        c, W, V, M = xs                   # W (E, K, 4), V/M (E, K)
+        c, W, V, M, lv = xs               # W (E, K, 4), V/M (E, K)
         nh, ph, eh, state, iters, ok = bdf_step(c, nh, ph, eh, mp, cfg, tol,
                                                 dtype)
         Nn, Pn, _ = state
@@ -185,9 +189,10 @@ def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
         err = (lp_at - V[:, :, None]) * M[:, :, None]
         sse = sse + jnp.sum(err * err, axis=1)
         esum = esum + jnp.sum(err, axis=1)
-        # Steps carrying no real observation weight cannot poison conv
-        # (models/solver.py pad_only semantics).
-        ok = ok | (jnp.sum(M) == 0)
+        # Only padded-tail steps (no observation at or after them) are
+        # forgiven; interior unobserved steps still gate conv because the
+        # trajectory they corrupt feeds later observation points.
+        ok = ok | ~lv
         return (nh, ph, eh, lp_win, conv & ok,
                 jnp.maximum(max_it, jnp.max(iters)), samp_it + iters,
                 sse, esum), None
@@ -195,7 +200,7 @@ def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
     conv, max_it, samp_it, sse, esum = acc
     carry0 = (nh, ph, eh, lp_win0, conv, max_it, samp_it, sse, esum)
     xs = (jnp.arange(C), jnp.asarray(W_all, dtype), jnp.asarray(V_all, dtype),
-          jnp.asarray(M_all, dtype))
+          jnp.asarray(M_all, dtype), jnp.asarray(live, bool))
     (nh, ph, eh, _, conv, max_it, samp_it, sse, esum), _ = jax.lax.scan(
         step, carry0, xs)
 
@@ -241,9 +246,24 @@ def solve_offgrid(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     acc = (jnp.ones((batch,), bool), jnp.int32(0),
            jnp.zeros((batch,), jnp.int32), e0 ** 2, e0)
 
-    for (S, n_fine), tbl in zip(schedule, tables.phases):
+    # Per-step liveness: a coarse step is "live" while any real observation
+    # remains at or after it (across all experiments); only the padded tail
+    # past the last observation is forgiven for Newton non-convergence.
+    # jnp ops throughout — the runner passes the tables through jit, so the
+    # masks may be tracers here.
+    has_obs = jnp.concatenate([jnp.any(jnp.asarray(M) != 0, axis=(1, 2))
+                               for (_, _, M) in tables.phases])
+    live_flat = jnp.flip(jnp.cumsum(
+        jnp.flip(has_obs).astype(jnp.int32))) > 0
+    phase_steps = [int(n) // int(S) for S, n in schedule]
+    offsets = np.concatenate([[0], np.cumsum(phase_steps)])
+    live_per_phase = [live_flat[offsets[i]:offsets[i + 1]]
+                      for i in range(len(schedule))]
+
+    for (S, n_fine), tbl, live in zip(schedule, tables.phases,
+                                      live_per_phase):
         n, p, e, acc = _phase_offgrid(mat_nd, n, p, e, cfg, obs_meta, tbl,
-                                      pl0, acc, S)
+                                      pl0, acc, S, live)
     conv, max_it, samp_it, sse, esum = acc
     return SolveResult(pl=None, n=n, p=p, e=e, converged=conv,
                        max_newton_iters=max_it, sse=sse, err_sum=esum,

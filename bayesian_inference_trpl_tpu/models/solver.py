@@ -151,6 +151,17 @@ def _log_pl(pl, obs: FusedObs, pl0):
     return out if obs.normalize else out + obs.log_scale
 
 
+def _horizon_kernel_ok() -> bool:
+    """Whether fused-horizon dispatch may use the Pallas kernel: compiled on
+    TPU always; elsewhere only under TRPL_HORIZON_INTERPRET=1 (test parity —
+    Mosaic-interpreter emulation of an 80k-step horizon is orders of
+    magnitude slower than the coupled-Newton scan fallback, so a CPU/GPU
+    user running the shipped exact-mode config must not land on it)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("TRPL_HORIZON_INTERPRET") == "1")
+
+
 def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
     """One BDF step on the rolling histories; shared by the single-phase
     solver below and the two-phase fast solver (models/twophase.py)."""
@@ -214,15 +225,25 @@ def bdf_step(t, nh, ph, eh, mp: MatParams, cfg: SolverConfig, tol, dtype):
         Nk = jnp.where(Nx > 0, Nx, Nk)
         Pk = jnp.where(Px > 0, Px, Pk)
         Ek = Ek + ramp * (Ek - jax.lax.dynamic_index_in_dim(eh, ko, keepdims=False))
+    # Fused-horizon methods reaching per-step dispatch (the off-grid solver
+    # or a non-fusable solve() call) step via their per-step equivalent: the
+    # Pallas Newton kernel on TPU, the XLA coupled-Newton path elsewhere
+    # (same math; the whole-horizon kernel itself only applies to fusable
+    # on-grid calls, see solve()).
     if cfg.method == "gauss_seidel":
         step_impl = implicit_step
-    elif cfg.method == "coupled_newton_pallas":
+    elif cfg.method == "coupled_newton_pallas" or (
+            cfg.method in ("fused_horizon", "fused_horizon_chord")
+            and jax.default_backend() == "tpu"):
         from ..ops.pallas.newton_kernel import pallas_newton_step
         from functools import partial
         step_impl = partial(pallas_newton_step,
                             interpret=jax.default_backend() != "tpu")
-    else:
+    elif cfg.method in ("coupled_newton", "fused_horizon",
+                        "fused_horizon_chord"):
         step_impl = coupled_newton_step
+    else:
+        raise ValueError(f"unknown solver method {cfg.method!r}")
     step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
     Nn, Pn, En, iters, ok = step_impl(
         Nk, Pk, Ek, bn, bp, be, mp, a0, tol, cfg.max_iters,
@@ -271,7 +292,8 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
         fusable = (obs is not None and not record_pl and init_hist is None
                    and acc0 is None and not return_hist and start_step == 0
                    and pl0 is None and cfg.pl_stride == 1
-                   and cfg.record_state_stride is None and not cfg.record_iters)
+                   and cfg.record_state_stride is None and not cfg.record_iters
+                   and _horizon_kernel_ok())
         if fusable:
             from ..ops.pallas.horizon_kernel import solve_horizon_fused
             return solve_horizon_fused(

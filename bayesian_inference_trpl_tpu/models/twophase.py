@@ -231,7 +231,9 @@ def solve_multiphase(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     # fine phase already dispatched inside solve()); the scan path below
     # is the reference implementation it is gated against
     # (tests/test_twophase.py).
-    use_kernel = cfg.method in ("fused_horizon", "fused_horizon_chord")
+    from .solver import _horizon_kernel_ok
+    use_kernel = (cfg.method in ("fused_horizon", "fused_horizon_chord")
+                  and _horizon_kernel_ok())
     for S, n_fine in schedule[1:]:
         if use_kernel:
             from ..ops.pallas.horizon_kernel import solve_coarse_phase_fused

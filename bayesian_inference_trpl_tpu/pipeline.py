@@ -131,7 +131,17 @@ def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
                       fast_max_stride=sim.fast_max_stride,
                       fast_steps_per_phase=sim.fast_steps_per_phase)
     schedule = sim_c.fast_phases or ((1, T_c),)
-    tables = build_offgrid_tables(times, values, schedule, sim_c.dt)
+    try:
+        tables = build_offgrid_tables(times, values, schedule, sim_c.dt)
+    except ValueError as exc:
+        # Malformed-but-loadable observation data (e.g. duplicate t=0 rows)
+        # keeps the documented contract: fall back to _simulate_interp
+        # rather than aborting the whole inference run.
+        import logging
+        logging.getLogger(__name__).warning(
+            "off-grid fusion unavailable for curve %d (%s); "
+            "falling back to interpolated likelihood", ic_num, exc)
+        return None
     return sim_c, schedule, tables
 
 

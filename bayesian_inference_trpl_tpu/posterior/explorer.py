@@ -75,12 +75,27 @@ class ExplorerSession:
         self.viz.do_log[param] = bool(log)
 
     def set_range(self, param: str, lo: float, hi: float):
-        """Clip to [lo, hi]; pass lo > hi or NaN to clear (full range)."""
+        """Clip to [lo, hi]; pass lo > hi or NaN to clear (full range).
+
+        A range that excludes every sample is rolled back (and the error
+        re-raised) rather than committed — otherwise every later rebuild()
+        from any control would re-raise from the stored bad range and Save
+        would persist it."""
+        prev = self.viz.ranges.get(param)
+        had = param in self.viz.ranges
         if not (np.isfinite(lo) and np.isfinite(hi)) or lo > hi:
             self.viz.ranges.pop(param, None)
         else:
             self.viz.ranges[param] = (float(lo), float(hi))
-        self.rebuild()
+        try:
+            self.rebuild()
+        except ValueError:
+            if had:
+                self.viz.ranges[param] = prev
+            else:
+                self.viz.ranges.pop(param, None)
+            self.rebuild()
+            raise
 
     def set_mark(self, param: str, value: Optional[float]):
         self.viz.marks[param] = None if value is None else float(value)
@@ -274,7 +289,7 @@ class PosteriorExplorer:
         self._clear_plots()
         d = self.s.data
         if self.mode == "cov":
-            params = self.s.enabled_params()
+            params = self.s.enabled_params() or list(d.X)[:1]
             ax = self.fig.add_axes([0.30, 0.08, 0.62, 0.88])
             self.plot_axes = [ax]
             cov = d.covariance(params)

@@ -99,13 +99,24 @@ def main(argv=None):
     ap.add_argument("path", help="BAYRAN output dir or member file")
     ap.add_argument("--z", type=float, default=5.0,
                     help="z-score threshold for the corner signature")
+    ap.add_argument("--min-x", type=lambda s: [float(v) for v in s.split(",")],
+                    default=None,
+                    help="comma-separated lower bounds of the run's sampling "
+                         "box (defaults to the production ParamSpace)")
+    ap.add_argument("--max-x", type=lambda s: [float(v) for v in s.split(",")],
+                    default=None,
+                    help="comma-separated upper bounds of the run's sampling box")
     args = ap.parse_args(argv)
 
     from ..config import ParamSpace
     from ..utils.io import load_bayran
     P, X = load_bayran(args.path)
     ps = ParamSpace()          # production box (reference defaults)
-    rep = characterize(X, P, ps.min_x, ps.max_x, ps.do_log, args.z)
+    min_x = ps.min_x if args.min_x is None else np.asarray(args.min_x, float)
+    max_x = ps.max_x if args.max_x is None else np.asarray(args.max_x, float)
+    if len(min_x) != len(ps.min_x) or len(max_x) != len(ps.max_x):
+        ap.error(f"--min-x/--max-x need {len(ps.min_x)} comma-separated values")
+    rep = characterize(X, P, min_x, max_x, ps.do_log, args.z)
     print(json.dumps(rep, indent=2))
     if rep["num_nonconverged"]:
         sig = ", ".join(rep["signature"]) or "no single-parameter corner"

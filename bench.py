@@ -26,12 +26,13 @@ V5E8_CHIPS = 8
 
 
 def _measure(fn, *args):
-    """Compile + warm, then time one run; returns elapsed seconds."""
+    """Compile + warm, then time one run; returns (elapsed_s, outputs) so
+    callers can read telemetry without re-executing the workload."""
     import jax
     jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    return time.perf_counter() - t0
+    out = jax.block_until_ready(fn(*args))
+    return time.perf_counter() - t0, out
 
 
 def _measure_e2e(n_samples, T, method):
@@ -184,16 +185,16 @@ def main():
                 r.full_solves, r.tile_body_iters)
 
     sims = batch * (T / 80000.0)
-    fast_per_min = sims / _measure(run_fast, mat_nd, dn) * 60.0
+    fast_s, _ = _measure(run_fast, mat_nd, dn)
+    fast_per_min = sims / fast_s * 60.0
     exact_per_min = exact_iters = exact_fulls = exact_execs = None
     if not skip_exact or not headline_fast:
         # Exact (fixed-dt) stepping is ~8x the work; measure on a reduced
         # batch to bound bench wall-clock, normalizing to sims/min.
         eb = int(os.environ.get("BENCH_EXACT_BATCH", str(max(batch // 4, 1))))
         e_sims = eb * (T / 80000.0)
-        exact_per_min = e_sims / _measure(
-            run_exact, mat_nd[:eb], dn) * 60.0
-        e_out = run_exact(mat_nd[:eb], dn)
+        exact_s, e_out = _measure(run_exact, mat_nd[:eb], dn)
+        exact_per_min = e_sims / exact_s * 60.0
         exact_iters = float(np.asarray(e_out[3]).mean()) / T
         if e_out[4] is not None:      # chord telemetry: tile full-solve count
             exact_fulls = float(np.asarray(e_out[4]).mean()) / T

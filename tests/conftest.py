@@ -8,6 +8,10 @@ before conftest runs, so env vars alone don't switch backends — the
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Kernel-parity tests exercise the fused-horizon Pallas kernel under the
+# Mosaic interpreter on CPU; production dispatch only does that when asked
+# (off-TPU it falls back to the compiled scan — see solver._horizon_kernel_ok).
+os.environ["TRPL_HORIZON_INTERPRET"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

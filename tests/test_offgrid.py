@@ -108,6 +108,39 @@ def test_offgrid_ladder_matches_single_phase():
     assert np.asarray(r2.converged).all()
 
 
+def test_interior_nonconvergence_not_forgiven(monkeypatch):
+    """A Newton failure at an interior UNOBSERVED step corrupts the
+    trajectory that later observation points are scored from, so it must
+    mark the sample non-converged; only padded-tail steps (past the last
+    real observation) are forgiven (solver.py pad_only semantics)."""
+    T = 16
+    sim, mat, mat_nd, n0, p0, cfg = _problem(T, batch=2)
+    # t=0 plus observations at fine steps 2 and 6; steps 7..15 are tail.
+    t_obs = np.array([0.0, 2.0 * sim.dt, 6.0 * sim.dt])
+    v_obs = np.array([-3.0, -3.1, -3.2])
+    tables = build_offgrid_tables([t_obs], [v_obs], ((1, T),), sim.dt)
+
+    import bayesian_inference_trpl_tpu.models.offgrid as og
+    orig = og.bdf_step
+
+    def make_failing(fail_at):
+        def failing(t, *a, **k):
+            nh, ph, eh, state, iters, ok = orig(t, *a, **k)
+            return nh, ph, eh, state, iters, ok & (t != fail_at)
+        return failing
+
+    def run():
+        return solve_offgrid(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, tables,
+                             ((1, T),), pl_log_scale(sim), FLOAT_MIN)
+
+    # Step 4 carries no observation but precedes the last one (step 6).
+    monkeypatch.setattr(og, "bdf_step", make_failing(4))
+    assert not np.asarray(run().converged).any()
+    # Step 10 lies past every observation: padded-tail failures are forgiven.
+    monkeypatch.setattr(og, "bdf_step", make_failing(10))
+    assert np.asarray(run().converged).all()
+
+
 def test_table_builder_slots():
     """Slot bookkeeping: points land in the correct phase/step, padding is
     masked, t=0 splits out, counts are right."""
