@@ -371,6 +371,7 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     validate.validate_ic_flags(cfg.ic_flags)
     validate.validate_params(physics.NUM_PARAMS, physics.UNIT_CONVERSIONS,
                              cfg.params.do_log, cfg.params.min_x, cfg.params.max_x)
+    validate.validate_solver(cfg.grid.method, cfg.grid.predictor)
 
     min_x, max_x = cfg.params.bounds_converted()
     ckpt = None

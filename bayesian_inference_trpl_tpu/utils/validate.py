@@ -36,6 +36,22 @@ def validate_params(num_params: int, unit_conversions, do_log, min_x, max_x):
         raise ValueError("min params larger than max params")
 
 
+SOLVER_METHODS = ("gauss_seidel", "coupled_newton", "coupled_newton_pallas",
+                  "fused_horizon", "fused_horizon_chord")
+PREDICTORS = ("previous", "linear", "quadratic", "geometric")
+
+
+def validate_solver(method: str, predictor: str):
+    """Fail fast on typo'd solver knobs (the solver itself also raises, but
+    only at trace time, after sampling/IO work has been done)."""
+    if method not in SOLVER_METHODS:
+        raise ValueError(f"unknown solver method {method!r}; "
+                         f"choose one of {SOLVER_METHODS}")
+    if predictor not in PREDICTORS:
+        raise ValueError(f"unknown Newton predictor {predictor!r}; "
+                         f"choose one of {PREDICTORS}")
+
+
 def connect_to_devices(device_cfg):
     """Resolve the accelerator mesh; replaces ``connect_to_gpu``
     (reference: bayes_validate.py:45-55)."""
