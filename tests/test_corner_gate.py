@@ -11,65 +11,23 @@ fail if the field assembly ever regresses.
 Reference counterpart: Testing/pvSetup.py:49-90 (Cartesian sweep) +
 compare.py:41-57 (relative norms); the reference repo never gated E.
 """
-import hashlib
-import itertools
-import os
-
 import numpy as np
 import pytest
 
-from bayesian_inference_trpl_tpu import physics
 from bayesian_inference_trpl_tpu.tools import compare, run_sweep
-
-_CACHE_DIR = os.path.join(os.path.dirname(run_sweep.__file__), "exact_cache")
-
-
-def _oracle_cached(sweep: dict, rtol: float, atol: float) -> dict:
-    """Disk-cached run_oracle: the 32-corner scipy BDF integration takes
-    ~2 h on one CPU core, so the result ships with the repo (keyed on the
-    corner matrix + grid + tolerances; any change recomputes)."""
-    key = hashlib.sha1(
-        np.ascontiguousarray(np.asarray(sweep["mat_par"])).tobytes()
-        + f'{sweep["T"]}_{sweep["time"]}_{sweep["L"]}_{rtol}_{atol}'.encode()
-    ).hexdigest()[:10]
-    path = os.path.join(_CACHE_DIR, f"corner_oracle_T{sweep['T']}_{key}.npz")
-    if os.path.exists(path):
-        return dict(np.load(path))
-    out = run_sweep.run_oracle(sweep, rtol=rtol, atol=atol)
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    np.savez_compressed(path, **out)
-    return out
-
-L = 128
-TIME = 5.0          # ns — the stiff window, where all fields move
-T0 = 200            # base refinement level (dt = 25 ps, production dt)
-
-
-def _corner_matrix():
-    """32 production-box corners: Sf/Sb in {0.1, 1e5} cm/s (1e5 = the
-    Highsurf regime, beyond the sampling box's 100 — the hard corner),
-    B in {1e-11, 1e-9}, tau_n=tau_p in {1, 2000} ns, lambda in {0.1, 10}."""
-    corners = []
-    for Sf, Sb, B, tau, lam in itertools.product(
-            (0.1, 1e5), (0.1, 1e5), (1e-11, 1e-9), (1.0, 2000.0), (0.1, 10.0)):
-        corners.append([1e8, 1e15, 20.0, 20.0, B, Sf, Sb, 1e-29, 1e-29,
-                        tau, tau, lam])
-    mat_user = np.asarray(corners)
-    return mat_user * physics.UNIT_CONVERSIONS[:12]
-
-
-def _sweep(mat, T):
-    return dict(mat_par=mat, length=311.0, time=TIME, L=L, T=T,
-                tol_exp=9.0, max_iters=500, init_mode="exp",
-                ini_par=np.array([1e18 / 1e7 ** 3, 100.0]))
+from bayesian_inference_trpl_tpu.tools.corner_cache import (
+    T0, corner_matrix as _corner_matrix, corner_sweep as _sweep, load_oracle)
 
 
 @pytest.mark.slow
 def test_corner_sweep_parity_with_dt_refined_e_gate():
     mat = _corner_matrix()
     # rtol 1e-8 puts the oracle's own error ~4 orders below the smallest
-    # discretization error being gated (refined-dt E ~1e-3).
-    oracle = _oracle_cached(_sweep(mat, T0 * 4), rtol=1e-8, atol=1e-12)
+    # discretization error being gated (refined-dt E ~1e-3).  The oracle
+    # result SHIPS with the repo (tools/exact_cache/corner_oracle_*.npz);
+    # load_oracle fails fast with regeneration instructions if it is
+    # absent rather than silently starting the ~2 h integration.
+    oracle = load_oracle(_sweep(mat, T0 * 4), rtol=1e-8, atol=1e-12)
 
     errs_by_T = {}
     for T in (T0, T0 * 2, T0 * 4):
