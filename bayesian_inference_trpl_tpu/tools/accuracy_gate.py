@@ -46,13 +46,16 @@ def sample_production_box(n, seed=0):
 POWER_SCAN_EXC = "/root/reference/Example Data/Power_scan_Excitations.csv"
 
 
-def excitation_profiles(profile: str, batch: int, sim, dtype):
+def excitation_profiles(profile: str, batch: int, sim, dtype,
+                        row_offset: int = 0):
     """(batch, L) nondimensional initial excess densities.
 
     ``synthetic``: the smooth a*exp(-x/l) profile (every sample alike).
     ``power_scan``: the MEASURED Example-Data excitation profiles, cycled
     over the batch — the steep curves behind the production run's
-    non-converged corner (VERDICT round 1, Weak #2)."""
+    non-converged corner (VERDICT round 1, Weak #2).  ``row_offset``
+    shifts the cycle for row-sharded exact-cache generation (the profile
+    of global row i must not depend on which shard computes it)."""
     import jax.numpy as jnp
     from ..models.driver import initial_excess_density
 
@@ -63,21 +66,27 @@ def excitation_profiles(profile: str, batch: int, sim, dtype):
     if profile == "power_scan":
         from ..utils.io import get_initpoints
         profiles = get_initpoints(POWER_SCAN_EXC, {})
-        rows = [initial_excess_density(sim, profiles[i % len(profiles)],
-                                       "points", dtype=dtype)
+        rows = [initial_excess_density(
+                    sim, profiles[(row_offset + i) % len(profiles)],
+                    "points", dtype=dtype)
                 for i in range(batch)]
         return jnp.stack(rows)
     raise ValueError(f"unknown profile {profile!r}")
 
 
 def exact_curves(batch, T, seed=0, tol_exp_exact=7.0,
-                 profile="synthetic"):
+                 profile="synthetic", rows=None):
     """Exact reference: f64 single-phase full-horizon log10-PL curves.
 
     Meant to run on the CPU backend (TPU f64 is emulated, ~50x slower; the
     f64 CPU trajectory is the definition of "exact" anyway) — the CLI runs
     this in a JAX_PLATFORMS=cpu subprocess because the axon TPU session
     exposes no in-process CPU backend.
+
+    ``rows=(lo, hi)`` computes only that slice of the batch's sample
+    matrix (PCG64 draws are row-prefix-stable, so the (batch, 12) box is
+    identical no matter how it is sharded) — lets the ~90 min/8-sample
+    cache generation accumulate across runs (VERDICT r2 item 5).
     """
     import jax
     import jax.numpy as jnp
@@ -89,8 +98,14 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0,
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
     mat = sample_production_box(batch, seed)
+    row_offset = 0
+    if rows is not None:
+        row_offset, hi = rows
+        mat = mat[row_offset:hi]
+        batch = mat.shape[0]
     sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T)
-    dn64 = excitation_profiles(profile, batch, sim, jnp.float64)
+    dn64 = excitation_profiles(profile, batch, sim, jnp.float64,
+                               row_offset=row_offset)
     mat64 = jnp.asarray(physics.nondimensionalize(mat, sim.dx, sim.dt),
                         jnp.float64)
     cfg64 = SolverConfig(num_steps=T, pl_stride=1, tol=10.0 ** -tol_exp_exact,
@@ -189,6 +204,9 @@ def main(argv=None):
                          "reused if it exists, else computed and saved")
     ap.add_argument("--exact-only", action="store_true",
                     help="internal: compute exact curves and exit")
+    ap.add_argument("--rows", default=None,
+                    help="with --exact-only: 'lo:hi' row slice of the "
+                         "batch to compute (shardable cache generation)")
     ap.add_argument("--method", default=None,
                     help="fast-path solver method override (default: the "
                          "shipped scan method for the backend; e.g. "
@@ -207,8 +225,12 @@ def main(argv=None):
     apply_platform_env()
 
     if args.exact_only:
+        rows = None
+        if args.rows:
+            lo, hi = (int(v) for v in args.rows.split(":"))
+            rows = (lo, hi)
         lp64 = exact_curves(args.batch, args.T, args.seed,
-                            profile=args.profile)
+                            profile=args.profile, rows=rows)
         np.save(args.exact_file, lp64)
         print(f"wrote exact curves to {args.exact_file}")
         return
