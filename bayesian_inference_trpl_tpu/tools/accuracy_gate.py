@@ -152,7 +152,9 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=1024, base_stride=8,
                                   coarse_steps_per_phase=steps_per_phase,
                                   max_stride=max_stride)
     if method is None:
-        method = ("coupled_newton_pallas" if jax.default_backend() == "tpu"
+        # The SHIPPED production method (examples/*.toml): the fused-horizon
+        # chord kernel on TPU (r3 fast A/B winner), the XLA scan elsewhere.
+        method = ("fused_horizon_chord" if jax.default_backend() == "tpu"
                   else "coupled_newton")
     # Default = the SHIPPED production configuration (stride ladder; method
     # and predictor overridable for A/B validation of config changes).
