@@ -38,7 +38,14 @@ def _measure(fn, *args):
 def _measure_e2e(n_samples, T, method):
     """Wall-clock a full bayes() inference run (sampling, nondim, shard
     placement, double-buffered solve, export) on synthesized observations
-    (BASELINE.md row 3).  Returns (seconds, sims/min)."""
+    (BASELINE.md row 3).
+
+    Runs bayes() TWICE in-process: the first (cold) call pays tracing +
+    any compile-cache misses, the second (warm) reuses the in-process jit
+    cache entirely, so cold - warm isolates compile/trace overhead and the
+    warm number is the reproducible steady-state e2e rate (VERDICT r2,
+    weak #4: the single cold number spread 46k-82.8k between sessions).
+    Returns (cold_s, warm_s, sims/min cold, sims/min warm, stage dict)."""
     import tempfile
 
     import numpy as np
@@ -77,9 +84,21 @@ def _measure_e2e(n_samples, T, method):
                         out_dirs=[os.path.join(td, "OUT")]),
             checkpoint=False)
         t0 = time.perf_counter()
-        bayes(cfg)
-        elapsed = time.perf_counter() - t0
-    return elapsed, n_samples * (T / 80000.0) / elapsed * 60.0
+        _, _, info_cold = bayes(cfg)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, _, info_warm = bayes(cfg)
+        warm = time.perf_counter() - t0
+    sims = n_samples * (T / 80000.0)
+    # Stage attribution for the warm run (each bayes() call creates a fresh
+    # runner, so timers are per-run): solver = dispatch + device sync,
+    # err_sq/misc = host-side accumulation, the remainder = sampling + IO +
+    # nondim + export.
+    stages = {k: round(info_warm[k], 2)
+              for k in ("solver_time", "err_sq_time", "misc_time")}
+    stages["other_time"] = round(
+        info_warm["runtime"] - sum(stages.values()), 2)
+    return (cold, warm, sims / cold * 60.0, sims / warm * 60.0, stages)
 
 
 def main():
@@ -132,11 +151,14 @@ def main():
     obs = FusedObs(values=obs_curve,
                    log_scale=jnp.asarray(pl_log_scale(sim), dtype),
                    min_val=1e-30)
-    # The fused Pallas Newton kernel is the production TPU path (~1.3x the
-    # XLA op-chain); BENCH_METHOD overrides for A/B runs.
+    # The fused-horizon chord kernel is the production TPU path for BOTH
+    # modes since the r3 A/B (fast 141.2k vs 121.9k sims/min/chip for the
+    # per-step pallas kernel, 113.8k for the non-chord horizon kernel;
+    # accuracy gate PASS on synthetic s0/s1 + power_scan s0).
+    # BENCH_METHOD overrides for A/B runs.
     method = os.environ.get(
         "BENCH_METHOD",
-        "coupled_newton_pallas" if jax.default_backend() == "tpu"
+        "fused_horizon_chord" if jax.default_backend() == "tpu"
         else "coupled_newton")
     # Linear-extrapolation Newton predictor: ~1 iteration/step on smooth
     # stretches vs 2 for the reference's previous-state start (same fixed
@@ -200,6 +222,63 @@ def main():
             exact_fulls = float(np.asarray(e_out[4]).mean()) / T
             exact_execs = float(np.asarray(e_out[5]).mean()) / T
 
+    # Off-grid case (VERDICT r2 item 3): ~100 log-spaced observation times
+    # over the horizon — the realistic shape of measured TRPL data — scored
+    # by the in-scan slot-table likelihood (models/offgrid.py) under the
+    # same fast stride ladder.  Reference equivalent: full-horizon solve +
+    # host interpolation (bayeslib.py:182-191).
+    offgrid = offgrid_points = None
+    if not bool(int(os.environ.get("BENCH_SKIP_OFFGRID", "0"))):
+        from bayesian_inference_trpl_tpu.models.offgrid import (
+            build_offgrid_tables, solve_offgrid)
+        offgrid_points = int(os.environ.get("BENCH_OFFGRID_POINTS", "100"))
+        t_obs = np.geomspace(sim.dt, sim.time, offgrid_points)
+        t_obs[-1] = sim.time
+        v_obs = np.log10(1e-3 * np.exp(-t_obs / 200.0))
+        tables = build_offgrid_tables([t_obs], [v_obs], schedule, sim.dt)
+        log_scale = jnp.asarray(pl_log_scale(sim), dtype)
+
+        @jax.jit
+        def run_offgrid(mat_nd, dn):
+            n0 = mat_nd[:, 0:1] + dn[None, :]
+            p0 = mat_nd[:, 1:2] + dn[None, :]
+            r = solve_offgrid(mat_nd, n0, p0, jnp.zeros_like(n0), cfg,
+                              tables, schedule, log_scale, 1e-30)
+            return r.sse, r.err_sum, r.converged
+        og_s, _ = _measure(run_offgrid, mat_nd, dn)
+        offgrid = sims / og_s * 60.0
+
+    # Difficulty-sorted tiling A/B (VERDICT r2 item 7): the masked-while
+    # tile synchronization makes every kernel tile run until its SLOWEST
+    # sample converges, so sorting samples by a difficulty proxy (Newton
+    # iterations over the stiff transient) packs hard samples into shared
+    # tiles and stops one hard sample stalling 127 fast lanes.  The probe
+    # costs ~2.5% of a full horizon and is reported separately.
+    exact_sorted = None
+    if (os.environ.get("BENCH_EXACT_SORTED", "0") == "1"
+            and exact_per_min is not None):
+        T_probe = 2048
+        obs_probe = FusedObs(values=jnp.zeros((1, T_probe + 1), dtype),
+                             log_scale=obs.log_scale, min_val=1e-30)
+        cfg_probe = cfg_exact._replace(num_steps=T_probe)
+
+        @jax.jit
+        def run_probe(mat_nd, dn):
+            n0 = mat_nd[:, 0:1] + dn[None, :]
+            p0 = mat_nd[:, 1:2] + dn[None, :]
+            r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg_probe,
+                      obs=obs_probe, record_pl=False)
+            return r.sample_iters
+        eb = int(os.environ.get("BENCH_EXACT_BATCH", str(max(batch // 4, 1))))
+        probe_s, probe_iters = _measure(run_probe, mat_nd[:eb], dn)
+        order = np.argsort(-np.asarray(probe_iters))
+        mat_sorted = jnp.asarray(np.asarray(mat_nd[:eb])[order])
+        sorted_s, _ = _measure(run_exact, mat_sorted, dn)
+        e_sims = eb * (T / 80000.0)
+        exact_sorted = dict(
+            exact_sorted_sims_per_min_chip=round(e_sims / sorted_s * 60.0, 1),
+            exact_probe_seconds=round(probe_s, 2))
+
     e2e_samples = int(os.environ.get("BENCH_E2E_SAMPLES", "32768"))
     e2e = None
     if e2e_samples:
@@ -249,10 +328,20 @@ def main():
             ss_per_s * flops_per_step / VPU_PEAK_F32 * 100.0, 1)
     if e2e is not None:
         # Whole bayes() run: sampling, IO, nondim, sharding, double-buffered
-        # solve, export (BASELINE.md row 3).
-        out["e2e_wallclock_s"] = round(e2e[0], 1)
+        # solve, export (BASELINE.md row 3).  Cold pays tracing/compile;
+        # warm is the steady-state rate with a per-stage breakdown.
+        cold_s, warm_s, cold_rate, warm_rate, stages = e2e
+        out["e2e_wallclock_s"] = round(cold_s, 1)
         out["e2e_samples"] = e2e_samples
-        out["e2e_sims_per_min_chip"] = round(e2e[1], 1)
+        out["e2e_sims_per_min_chip"] = round(cold_rate, 1)
+        out["e2e_warm_wallclock_s"] = round(warm_s, 1)
+        out["e2e_warm_sims_per_min_chip"] = round(warm_rate, 1)
+        out["e2e_warm_stages_s"] = stages
+    if offgrid is not None:
+        out["offgrid_sims_per_min_chip"] = round(offgrid, 1)
+        out["offgrid_points"] = offgrid_points
+    if exact_sorted is not None:
+        out.update(exact_sorted)
     print(json.dumps(out))
 
 
