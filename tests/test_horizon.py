@@ -176,3 +176,93 @@ def test_solve_routes_fused_horizon():
     assert r_fb.pl is not None
     np.testing.assert_allclose(np.asarray(r_fb.sse), np.asarray(r_ref.sse),
                                rtol=1e-12)
+
+
+def test_horizon_chord_multitile_cache_reset():
+    """Two sample tiles in one launch: the chord cache (cval) and the
+    fulls/execs telemetry counters are per-tile scratch that MUST reset on
+    tile re-entry (horizon_kernel._init) — a stale factorization leaking
+    from tile 0 into tile 1 would silently corrupt tile 1's chord steps.
+    Gate: tile 1's results inside the 2-tile launch are BITWISE identical
+    to solving tile 1's samples alone (VERDICT r2, weak #8a)."""
+    T = 36
+    mat_nd, n0, p0, obs, cfg = _problem(T, batch=16, seed=11)
+    r_ref = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs=obs,
+                  record_pl=False)
+    r_2t = solve_horizon_fused(mat_nd, n0, p0, cfg, obs, tb=12, tile=8,
+                               chord=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(r_2t.sse), np.asarray(r_ref.sse),
+                               rtol=1e-7)
+    np.testing.assert_array_equal(np.asarray(r_2t.converged),
+                                  np.asarray(r_ref.converged))
+    # Telemetry is tile-wide: uniform within each tile, and the counts are
+    # each tile's own (both tiles start from a fresh cache, so both must
+    # pay at least the first-step Jacobian refresh).
+    fulls = np.asarray(r_2t.full_solves)
+    execs = np.asarray(r_2t.tile_body_iters)
+    assert (fulls[:8] == fulls[0]).all() and (fulls[8:] == fulls[8]).all()
+    assert (execs[:8] == execs[0]).all() and (execs[8:] == execs[8]).all()
+    assert fulls[0] >= 1 and fulls[8] >= 1
+    # Bitwise: tile 1 solved alone == tile 1 inside the 2-tile launch.
+    r_t1 = solve_horizon_fused(mat_nd[8:], n0[8:], p0[8:], cfg, obs, tb=12,
+                               tile=8, chord=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_t1.sse),
+                                  np.asarray(r_2t.sse)[:, 8:])
+    np.testing.assert_array_equal(np.asarray(r_t1.n),
+                                  np.asarray(r_2t.n)[8:])
+    np.testing.assert_array_equal(np.asarray(r_t1.p),
+                                  np.asarray(r_2t.p)[8:])
+    np.testing.assert_array_equal(np.asarray(r_t1.full_solves),
+                                  fulls[8:])
+    np.testing.assert_array_equal(np.asarray(r_t1.tile_body_iters),
+                                  execs[8:])
+
+
+def test_coarse_phase_multiblock_multitile():
+    """Coarse-phase kernel with n_blocks > 1 (streamed observation blocks,
+    the production tb=384 path) AND two sample tiles, vs the scan
+    reference (twophase._coarse_phase), in both full-Newton and chord
+    modes (VERDICT r2, weak #8a).  The dense-output window (lpw), chord
+    cache, and accumulators must all persist across a tile's time blocks
+    and reset between tiles."""
+    from bayesian_inference_trpl_tpu.models.solver import pl_observable
+    from bayesian_inference_trpl_tpu.models.trpl import MatParams
+    from bayesian_inference_trpl_tpu.models.twophase import _coarse_phase
+    from bayesian_inference_trpl_tpu.ops.pallas.horizon_kernel import (
+        solve_coarse_phase_fused)
+
+    T1, S, C = 12, 2, 48
+    n_fine = C * S
+    T = T1 + n_fine
+    mat_nd, n0, p0, obs, cfg = _problem(T, batch=16, seed=13)
+
+    # Fine phase (scan path), exactly as solve_multiphase stages it.
+    obs1 = FusedObs(values=obs.values[:, :T1 + 1], log_scale=obs.log_scale,
+                    min_val=obs.min_val)
+    r1 = solve(mat_nd, n0, p0, jnp.zeros_like(n0),
+               cfg._replace(num_steps=T1), obs=obs1, record_pl=False)
+    mp = MatParams.from_array(mat_nd)
+    pl0 = pl_observable(n0, p0, mp)
+
+    acc0 = (r1.converged, r1.max_newton_iters, r1.sample_iters,
+            jnp.zeros_like(r1.sse), jnp.zeros_like(r1.err_sum))
+    _, _, _, acc_ref = _coarse_phase(mat_nd, r1.n, r1.p, r1.e, cfg, obs,
+                                     pl0, acc0, T1, n_fine, S)
+    sse_ref = np.asarray(acc_ref[3])
+
+    for chord in (False, True):
+        r_k = solve_coarse_phase_fused(
+            mat_nd, r1.n, r1.p, r1.e, cfg._replace(chord_strict=True), obs,
+            pl0, T1, n_fine, S, tb=24, tile=8, chord=chord, interpret=True)
+        assert np.asarray(r_k.converged).all()
+        np.testing.assert_allclose(np.asarray(r_k.sse), sse_ref,
+                                   rtol=1e-6 if chord else 1e-9)
+        np.testing.assert_allclose(np.asarray(r_k.err_sum),
+                                   np.asarray(acc_ref[4]),
+                                   rtol=1e-5 if chord else 1e-9, atol=1e-9)
+        if chord:
+            # Per-tile telemetry reset, as in the full-horizon test.
+            fulls = np.asarray(r_k.full_solves)
+            assert (fulls[:8] == fulls[0]).all()
+            assert (fulls[8:] == fulls[8]).all()
+            assert fulls[0] >= 1 and fulls[8] >= 1
