@@ -115,6 +115,11 @@ class DeviceConfig:
     # observability replacing the reference's wall-clock-only accounting
     # (SURVEY.md section 5; reference: bayeslib.py:210-212).
     profile_dir: Optional[str] = None
+    # Retry passes over each curve's non-converged samples (failure-only
+    # batches; see ShardedRunner._retry_nonconverged).  Measured: chord-tile
+    # scheduling artifacts, ~99% recover on one retry (Twothick 5.26% ->
+    # <0.1% NaN).  0 = reference-equivalent single attempt.
+    retry_nonconverged: int = 1
 
 
 @dataclass

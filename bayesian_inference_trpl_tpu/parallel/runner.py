@@ -96,11 +96,13 @@ def _chunk_likelihood_offgrid(mat_nd, mag, dn, phase_tables, v0, m0, n_obs,
 class ShardedRunner:
     """Chunked SPMD executor over a 1-D sample mesh."""
 
-    def __init__(self, mesh: Optional[Mesh] = None, chunk_per_device: int = 1024):
+    def __init__(self, mesh: Optional[Mesh] = None, chunk_per_device: int = 1024,
+                 retries: int = 1):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_devices = self.mesh.devices.size
         self.chunk_per_device = int(chunk_per_device)
         self.chunk = self.chunk_per_device * self.n_devices
+        self.retries = int(retries)
         self.timers = RunnerTimers()
 
     def _shard(self, arr, dtype):
@@ -131,6 +133,49 @@ class ShardedRunner:
                 chunk_done(ci, ll[:, :size])
             self.timers.misc_time += time.perf_counter() - t0
         return harvest
+
+    def _retry_nonconverged(self, dispatch, mat_nd_all, mag_all, dtype,
+                            out, conv, P_before):
+        """Re-dispatch the non-converged samples of a finished curve in
+        failure-only batches and repair their likelihoods.
+
+        Measured (r3, Twothick 131k production run): per-curve Newton
+        failure on the hard corner (tau_n bottom decile, p0 top) is a
+        SCHEDULING artifact, not sample-intrinsic — the chord kernel's
+        tile-wide cache-refresh dynamics depend on tile composition, and
+        ~99% of production failures converge when re-dispatched in a
+        batch of fellow failures (tests/test_pipeline.py; raising
+        max_iters 8 -> 16 changes nothing).  The retry is deterministic
+        (the failure set is a pure function of X and the batch layout),
+        identical across processes (conv is allgathered), and costs one
+        small padded dispatch per ~chunk of failures.  The reference
+        instead aborts every block on any failure (pvSimPCR.py:269-292).
+        """
+        from .distributed import allgather_to_host
+        for _ in range(self.retries):
+            idx = np.where(~conv)[0]
+            if idx.size == 0:
+                return
+            t0 = time.perf_counter()
+            for lo in range(0, idx.size, self.chunk):
+                sel = idx[lo:lo + self.chunk]
+                pad = self.chunk - sel.size
+                mat_c = mat_nd_all[sel]
+                mag_c = mag_all[sel]
+                if pad:
+                    mat_c = np.concatenate(
+                        [mat_c, np.repeat(mat_c[-1:], pad, 0)], 0)
+                    mag_c = np.concatenate(
+                        [mag_c, np.repeat(mag_c[-1:], pad, 0)], 0)
+                ll, ok = dispatch(self._shard(mat_c, dtype),
+                                  self._shard(mag_c, dtype))
+                ll = allgather_to_host(ll)[:, :sel.size]
+                ok = allgather_to_host(ok)[:sel.size]
+                ok = np.asarray(ok)
+                rec = sel[ok]
+                out[:, rec] = P_before[:, rec] + np.asarray(ll)[:, ok]
+                conv[rec] = True
+            self.timers.solver_time += time.perf_counter() - t0
 
     def run_curve(self, X, sim: SimParams, ini_par, obs_log_values,
                   normalize: bool = False, dtype=None,
@@ -169,6 +214,9 @@ class ShardedRunner:
 
         if out is None:
             out = np.zeros((num_exp, n))
+        # Pre-curve accumulations, kept for the non-converged retry repair
+        # (a failed sample's NaN contribution poisons its running sum).
+        P_before = out.copy() if self.retries else None
         conv = np.ones(n, dtype=bool)
         harvest = self._make_harvest(n, out, conv, chunk_done)
 
@@ -183,6 +231,9 @@ class ShardedRunner:
 
         self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
                          progress, start_chunk)
+        if self.retries and not conv.all():
+            self._retry_nonconverged(dispatch, mat_nd_all, mag_all, dtype,
+                                     out, conv, P_before)
         return out, conv
 
     def _chunk_loop(self, dispatch, mat_nd_all, mag_all, dtype, n, harvest,
@@ -253,6 +304,7 @@ class ShardedRunner:
 
         if out is None:
             out = np.zeros((num_exp, n))
+        P_before = out.copy() if self.retries else None
         conv = np.ones(n, dtype=bool)
         harvest = self._make_harvest(n, out, conv, chunk_done)
 
@@ -263,4 +315,7 @@ class ShardedRunner:
 
         self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
                          progress, start_chunk)
+        if self.retries and not conv.all():
+            self._retry_nonconverged(dispatch, mat_nd_all, mag_all, dtype,
+                                     out, conv, P_before)
         return out, conv

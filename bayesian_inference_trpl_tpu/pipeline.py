@@ -405,7 +405,8 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
 
     devices = validate.connect_to_devices(cfg.device)
     mesh = make_mesh(devices)
-    runner = ShardedRunner(mesh, chunk_per_device=cfg.device.chunk_per_device)
+    runner = ShardedRunner(mesh, chunk_per_device=cfg.device.chunk_per_device,
+                           retries=cfg.device.retry_nonconverged)
     if ckpt is not None and not resumed:
         ckpt.init(X, num_exp, len(init_params), runner.chunk)
 
