@@ -163,8 +163,10 @@ def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
     dtype = n0.dtype
     mat_c = rescale_dt(mat_nd, S) if S != 1 else mat_nd
     mp = MatParams.from_array(mat_c).astype(dtype)
+    # Offset in the compute dtype (see twophase._coarse_phase).
     obs_c = FusedObs(values=obs_meta.values,
-                     log_scale=obs_meta.log_scale - np.log10(S),
+                     log_scale=(jnp.asarray(obs_meta.log_scale, dtype)
+                                - jnp.asarray(np.log10(S), dtype)),
                      min_val=obs_meta.min_val, normalize=obs_meta.normalize)
     pl0_c = pl0 * S
     tol = jnp.asarray(cfg.tol, dtype)

@@ -146,7 +146,15 @@ def _bdf_coeffs(t, dtype):
 
 def _log_pl(pl, obs: FusedObs, pl0):
     val = pl / pl0 if obs.normalize else pl
-    val = jnp.maximum(val, obs.min_val)
+    # The clamp floor must stay strictly positive IN THE COMPUTE DTYPE:
+    # min_val = sys.float_info.min (2.2e-308) rounds to 0.0 in float32, and
+    # log10(0) = -inf poisons the coarse-phase Lagrange dense output (mixed-
+    # sign weights -> inf - inf = NaN) — the r2/r3 production "non-converged"
+    # populations were mostly THIS: converged samples whose PL decayed to
+    # f32 zero (the tau_n-bottom corner signature, docs/PRECISION.md).
+    floor = jnp.maximum(jnp.asarray(obs.min_val, val.dtype),
+                        jnp.finfo(val.dtype).tiny)
+    val = jnp.maximum(val, floor)
     out = jnp.log10(val)
     return out if obs.normalize else out + obs.log_scale
 

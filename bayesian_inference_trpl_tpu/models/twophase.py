@@ -130,8 +130,12 @@ def _coarse_phase(mat_nd, n0, p0, e0, cfg: SolverConfig, obs: FusedObs,
     mat_c = rescale_dt(mat_nd, S)
     mp = MatParams.from_array(mat_c).astype(dtype)
     # Nondimensional PL scales with dt: adjust the log offset (and pl0 for
-    # self-normalization) to coarse units.
-    obs_c = FusedObs(values=obs.values, log_scale=obs.log_scale - np.log10(S),
+    # self-normalization) to coarse units.  Keep the offset in the compute
+    # dtype: a bare np.float64 scalar would promote the whole likelihood
+    # chain to f64 under x64 (scan carry dtype mismatch).
+    obs_c = FusedObs(values=obs.values,
+                     log_scale=(jnp.asarray(obs.log_scale, dtype)
+                                - jnp.asarray(np.log10(S), dtype)),
                      min_val=obs.min_val, normalize=obs.normalize)
     pl0_c = pl0 * S
     tol = jnp.asarray(cfg.tol, dtype)

@@ -22,8 +22,13 @@ FLOAT_MIN = sys.float_info.min
 
 def fastlog(pl, min_val: float = FLOAT_MIN):
     """Clamp-to-min then log10 (reference: probs.py:64-85, applied at
-    bayeslib.py:157).  Values below ``min_val`` (including negatives) clamp."""
-    return jnp.log10(jnp.maximum(pl, min_val))
+    bayeslib.py:157).  Values below ``min_val`` (including negatives) clamp.
+    The floor stays strictly positive in the input's dtype (FLOAT_MIN is
+    f64-tiny, which rounds to 0.0 in f32 — log10(0) = -inf downstream)."""
+    pl = jnp.asarray(pl)
+    floor = jnp.maximum(jnp.asarray(min_val, pl.dtype),
+                        jnp.finfo(pl.dtype).tiny)
+    return jnp.log10(jnp.maximum(pl, floor))
 
 
 def sse_terms(pl_log, values):

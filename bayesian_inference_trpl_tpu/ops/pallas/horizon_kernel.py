@@ -414,9 +414,13 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
         W2 = wtab_ref[2]
 
     def _log_pl_col(pl_col):
+        # Clamp floor strictly positive in-dtype: min_val may round to 0.0
+        # in f32 (models/solver._log_pl — log10(0) = -inf would NaN the
+        # mixed-sign dense-output sum).
+        mv = jnp.maximum(min_val, jnp.finfo(pl_col.dtype).tiny)
         if normalize:
-            return jnp.log10(jnp.maximum(pl_col / pl0_s[:], min_val))
-        return jnp.log10(jnp.maximum(pl_col, min_val)) + log_scale
+            return jnp.log10(jnp.maximum(pl_col / pl0_s[:], mv))
+        return jnp.log10(jnp.maximum(pl_col, mv)) + log_scale
 
     # ---- First time block of a tile: initialize the persistent scratch.
     @pl.when(t_blk == 0)

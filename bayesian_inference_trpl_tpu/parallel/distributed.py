@@ -105,8 +105,13 @@ def broadcast_from_primary(tree):
     import jax
     if jax.process_count() == 1:
         return tree
+    import numpy as np
     from jax.experimental import multihost_utils
-    return multihost_utils.broadcast_one_to_all(tree)
+    out = multihost_utils.broadcast_one_to_all(tree)
+    # The broadcast returns read-only numpy views of device arrays; the
+    # consumers (e.g. the resumed P accumulator, runner.harvest's "+=")
+    # need writable host arrays — copy on the way out.
+    return jax.tree_util.tree_map(np.array, out)
 
 
 def allgather_to_host(x):

@@ -139,24 +139,30 @@ class ShardedRunner:
         """Re-dispatch the non-converged samples of a finished curve in
         failure-only batches and repair their likelihoods.
 
-        Measured (r3, Twothick 131k production run): per-curve Newton
-        failure on the hard corner (tau_n bottom decile, p0 top) is a
-        SCHEDULING artifact, not sample-intrinsic — the chord kernel's
-        tile-wide cache-refresh dynamics depend on tile composition, and
-        ~99% of production failures converge when re-dispatched in a
-        batch of fellow failures (tests/test_pipeline.py; raising
-        max_iters 8 -> 16 changes nothing).  The retry is deterministic
-        (the failure set is a pure function of X and the batch layout),
-        identical across processes (conv is allgathered), and costs one
-        small padded dispatch per ~chunk of failures.  The reference
-        instead aborts every block on any failure (pvSimPCR.py:269-292).
+        A safety net for composition-sensitive Newton failures: the chord
+        kernel's tile-wide cache-refresh dynamics depend on tile
+        membership, so a borderline sample can fail in one batch layout
+        and converge in another; re-dispatching the failures together
+        gives them a second, different layout.  (The bulk of the r2/r3
+        production NaN populations turned out to be the f32 log-floor bug
+        fixed in models/solver._log_pl, not Newton failures; the residual
+        genuine failures — tau_n bottom decile, ~0.07% on Twothick — are
+        mostly sample-intrinsic, so expect modest recovery.)  The retry
+        is deterministic (the failure set is a pure function of X and the
+        batch layout), identical across processes (conv is allgathered),
+        and costs one small padded dispatch per ~chunk of failures.  The
+        reference instead aborts every block on any failure
+        (pvSimPCR.py:269-292).
         """
+        import logging
+        logger = logging.getLogger(__name__)
         from .distributed import allgather_to_host
-        for _ in range(self.retries):
+        for r in range(self.retries):
             idx = np.where(~conv)[0]
             if idx.size == 0:
                 return
             t0 = time.perf_counter()
+            before = idx.size
             for lo in range(0, idx.size, self.chunk):
                 sel = idx[lo:lo + self.chunk]
                 pad = self.chunk - sel.size
@@ -176,6 +182,9 @@ class ShardedRunner:
                 out[:, rec] = P_before[:, rec] + np.asarray(ll)[:, ok]
                 conv[rec] = True
             self.timers.solver_time += time.perf_counter() - t0
+            logger.info("Retry %d: %d of %d non-converged samples recovered "
+                        "(%.1fs)", r, before - int((~conv).sum()), before,
+                        time.perf_counter() - t0)
 
     def run_curve(self, X, sim: SimParams, ini_par, obs_log_values,
                   normalize: bool = False, dtype=None,

@@ -61,3 +61,49 @@ def test_fused_self_normalize(rng):
     got = np.asarray(lk.log_likelihood_from_terms(
         res_f.sse, res_f.err_sum, sim.num_pl, 0.0))[0]
     np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-8)
+
+
+def test_fused_likelihood_finite_at_pl_floor():
+    """PL that decays to (or starts at) exact zero in float32 must yield
+    FINITE likelihood terms, not NaN: min_val = sys.float_info.min rounds
+    to 0.0 in f32, log10(0) = -inf, and the coarse-phase Lagrange dense
+    output (mixed-sign weights) turns that into NaN sse on CONVERGED
+    samples — the bulk of the r2/r3 production "non-converged" NaN
+    populations (tau_n-bottom corner; docs/PRECISION.md).  The clamp floor
+    is now dtype-aware in _log_pl / the horizon kernel / fastlog."""
+    import sys
+    import jax.numpy as jnp
+    from bayesian_inference_trpl_tpu import physics
+    from bayesian_inference_trpl_tpu.models.driver import (
+        SimParams, pl_log_scale)
+    from bayesian_inference_trpl_tpu.models.solver import (
+        FusedObs, SolverConfig)
+    from bayesian_inference_trpl_tpu.models.twophase import solve_multiphase
+    from bayesian_inference_trpl_tpu.ops.likelihood import fastlog
+
+    rng = np.random.default_rng(7)
+    mat = sample_mat_par(rng, 4)
+    T = 48
+    sim = SimParams(length=311.0, time=2000.0 * T / 80000, L=128, T=T)
+    dtype = jnp.float32
+    mat_nd = jnp.asarray(physics.nondimensionalize(mat, sim.dx, sim.dt),
+                         dtype)
+    # Equilibrium initial state: dn = 0 -> pl_observable == 0.0 exactly.
+    n0 = jnp.broadcast_to(mat_nd[:, 0:1], (4, sim.L)).astype(dtype)
+    p0 = jnp.broadcast_to(mat_nd[:, 1:2], (4, sim.L)).astype(dtype)
+    obs = FusedObs(values=jnp.asarray(rng.uniform(-4, -2, (1, T + 1)), dtype),
+                   log_scale=jnp.asarray(pl_log_scale(sim), dtype),
+                   min_val=sys.float_info.min)
+    sched = ((1, 16), (8, 32))
+    for method in ("coupled_newton", "fused_horizon_chord"):
+        cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=8,
+                           method=method, predictor="linear", step_tol=1e-6)
+        r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
+                             sched)
+        assert np.asarray(r.converged).all(), method
+        assert np.isfinite(np.asarray(r.sse)).all(), method
+        assert np.isfinite(np.asarray(r.err_sum)).all(), method
+
+    # fastlog (interp path) with an exact-zero f32 PL value.
+    out = np.asarray(fastlog(jnp.zeros((2, 3), jnp.float32)))
+    assert np.isfinite(out).all()
