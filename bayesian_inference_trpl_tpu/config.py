@@ -38,11 +38,14 @@ class GridConfig:
     predictor: str = "previous"         # "linear": extrapolated Newton start
     step_tol: float = 0.0               # state-settled acceptance; 0 = off
     # Multi-phase fast solver (models/twophase.py): fine steps through the
-    # transient, then geometrically coarser phases (stride 8 -> 16 -> ...
+    # transient, then geometrically coarser phases (stride 16 -> 32 -> ...
     # capped at fast_max_stride) with dense log-PL output.  None = single
-    # phase (reference-equivalent stepping).
+    # phase (reference-equivalent stepping).  Defaults = the r3-tuned
+    # production ladder (512, 16, 64, 512): 2,394 solver steps per 80k
+    # horizon, gate max rms 6.9e-5/5.8e-5/4.0e-4 (synthetic s0 /
+    # power_scan / synthetic s1), 169k sims/min/chip measured.
     fast_fine_steps: Optional[int] = None
-    fast_coarse_stride: int = 8
+    fast_coarse_stride: int = 16
     fast_max_stride: int = 64
     fast_steps_per_phase: int = 512
     # Pad all fused curves to one shared horizon (masked) so multi-curve

@@ -36,7 +36,7 @@ class SimParams:
     #                               iter/step on smooth stretches; same fixed point)
     step_tol: float = 0.0         # state-settled acceptance (f32 floor); 0 = off
     fast_fine_steps: Optional[int] = None   # fast-solver switch point
-    fast_coarse_stride: int = 8             # base stride of the ladder
+    fast_coarse_stride: int = 16            # base stride of the ladder (r3-tuned)
     fast_max_stride: int = 64               # stride cap (8 -> 16 -> ... cap)
     fast_steps_per_phase: int = 512         # coarse steps per ladder rung
 
