@@ -41,9 +41,10 @@ class GridConfig:
     # transient, then geometrically coarser phases (stride 16 -> 32 -> ...
     # capped at fast_max_stride) with dense log-PL output.  None = single
     # phase (reference-equivalent stepping).  Defaults = the r3-tuned
-    # production ladder (512, 16, 64, 512): 2,394 solver steps per 80k
-    # horizon, gate max rms 6.9e-5/5.8e-5/4.0e-4 (synthetic s0 /
-    # power_scan / synthetic s1), 169k sims/min/chip measured.
+    # production ladder (256, 16, 64, 512): 2,142 solver steps per 80k
+    # horizon, gate max rms 1.1e-4/4.8e-5/2.3e-4 (synthetic s0 /
+    # power_scan / synthetic s1) with the quadratic predictor, 208.7k
+    # sims/min/chip measured.
     fast_fine_steps: Optional[int] = None
     fast_coarse_stride: int = 16
     fast_max_stride: int = 64
@@ -119,9 +120,9 @@ class DeviceConfig:
     # (SURVEY.md section 5; reference: bayeslib.py:210-212).
     profile_dir: Optional[str] = None
     # Retry passes over each curve's non-converged samples (failure-only
-    # batches; see ShardedRunner._retry_nonconverged).  Measured: chord-tile
-    # scheduling artifacts, ~99% recover on one retry (Twothick 5.26% ->
-    # <0.1% NaN).  0 = reference-equivalent single attempt.
+    # batches; see ShardedRunner._retry_nonconverged): a second batch
+    # layout for composition-sensitive Newton failures.  Cheap when
+    # failures are few; 0 = reference-equivalent single attempt.
     retry_nonconverged: int = 1
 
 

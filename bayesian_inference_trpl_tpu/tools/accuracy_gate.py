@@ -1,7 +1,7 @@
 """Production-scale accuracy gate: shipped fast config vs exact f64 path.
 
 Compares the SHIPPED fast solver configuration — float32, multi-phase
-stride ladder (fine 512, strides 16->32->64, r3-tuned), production tolerance —
+stride ladder (fine 256, strides 16->32->64, r3-tuned), quadratic predictor —
 against the float64 single-phase reference-equivalent stepping on the SAME
 discretization (the 80,000-step dt=25ps grid; parallel_bayes_gpu.py:74-75),
 over a batch drawn from the production sampling box.
@@ -123,10 +123,10 @@ def exact_curves(batch, T, seed=0, tol_exp_exact=7.0,
     return np.log10(np.maximum(pl64, 1e-300)) + pl_log_scale(sim)
 
 
-def run_gate(lp64, batch=64, T=80000, fine_steps=512, base_stride=16,
+def run_gate(lp64, batch=64, T=80000, fine_steps=256, base_stride=16,
              max_stride=64, steps_per_phase=512,
              tol_exp_fast=4.0, seed=0, verbose=True, t_exact=None,
-             profile="synthetic", method=None, predictor="linear"):
+             profile="synthetic", method=None, predictor="quadratic"):
     """Score the shipped fast f32 path against precomputed exact curves
     ``lp64`` (from :func:`exact_curves`, same batch/T/seed)."""
     import jax
@@ -213,7 +213,7 @@ def main(argv=None):
                     help="fast-path solver method override (default: the "
                          "shipped scan method for the backend; e.g. "
                          "fused_horizon_chord for the kernel path)")
-    ap.add_argument("--predictor", default="linear",
+    ap.add_argument("--predictor", default="quadratic",
                     help="Newton predictor override (previous | linear | "
                          "quadratic | geometric)")
     ap.add_argument("--profile", default="synthetic",

@@ -71,9 +71,9 @@ def _measure_e2e(n_samples, T, method):
         cfg = InferenceConfig(
             grid=GridConfig(thickness=311.0, time=sim.time, num_nodes=128,
                             num_steps=T, pl_stride=1, tol_exp=4.0,
-                            max_iters=8, method=method, predictor="linear",
+                            max_iters=8, method=method, predictor="quadratic",
                             step_tol=1e-6,
-                            fast_fine_steps=min(512, T // 2),
+                            fast_fine_steps=min(256, T // 2),
                             fast_coarse_stride=16,
                             fast_steps_per_phase=512),
             params=ParamSpace(),
@@ -122,10 +122,11 @@ def main():
     # output.  BENCH_MODE=exact makes reference-equivalent fixed-dt stepping
     # the headline number instead.
     headline_fast = os.environ.get("BENCH_MODE", "fast") != "exact"
-    # r3-tuned production ladder (512, 16, 64, 512): 2,394 steps/horizon,
-    # gate PASS on all three profiles, 169k sims/min/chip (vs 141k at the
-    # r2 ladder 1024/8 under the same chord kernel).
-    fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "512")))
+    # r3-tuned production ladder (256, 16, 64, 512) + quadratic predictor:
+    # 2,142 steps/horizon, gate PASS on all three profiles (s0 1.1e-4,
+    # power_scan 4.8e-5, s1 2.3e-4), 208.7k sims/min/chip (vs 141k at the
+    # r2 ladder 1024/8 + linear under the same chord kernel).
+    fine_steps = min(T // 2, int(os.environ.get("BENCH_FINE_STEPS", "256")))
     stride = int(os.environ.get("BENCH_STRIDE", "16"))
     max_stride = int(os.environ.get("BENCH_MAX_STRIDE", "64"))
     steps_per_phase = int(os.environ.get("BENCH_STEPS_PER_PHASE", "512"))
@@ -166,7 +167,7 @@ def main():
     # Linear-extrapolation Newton predictor: ~1 iteration/step on smooth
     # stretches vs 2 for the reference's previous-state start (same fixed
     # point; gated by tools/accuracy_gate.py).
-    predictor = os.environ.get("BENCH_PREDICTOR", "linear")
+    predictor = os.environ.get("BENCH_PREDICTOR", "quadratic")
     # State-settled acceptance: in f32 the relative-residual metric stalls
     # at the rounding floor on late decayed states; max|dX| <= 1e-6 max|X|
     # also counts as converged (sse verified bitwise-identical vs off).
