@@ -143,6 +143,16 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=256, base_stride=16,
     mat64 = physics.nondimensionalize(mat, sim.dx, sim.dt)
 
     # --- Fast path: f32 multi-phase, exact curves as fused observations.
+    # Both sides clamp at the SAME floor before differencing: the f32
+    # model path floors nondimensional PL at min_val = 1e-30 (_log_pl),
+    # while the f64 exact curves were clamped at 1e-300 — on fully-
+    # decayed samples (tau_n-bottom corner) the unfloored difference
+    # compares likelihoods ~270 decades below any measurable signal and
+    # dominates the rms (b16 power_scan: 1.8e-2 unfloored vs the real
+    # solver deviation).  The reference clamps both sides identically
+    # before the SSE too (probs.py:64-85 via bval_cutoff).
+    floor = -30.0 + float(np.asarray(log_scale))
+    lp64 = np.maximum(lp64, floor)
     dtype = jnp.float32
     mat32 = jnp.asarray(np.asarray(mat64), dtype)
     dn32 = excitation_profiles(profile, batch, sim, dtype)

@@ -34,8 +34,15 @@ def field_errors(a: dict, b: dict, reduce: str = "mean") -> dict:
     out = {}
     for f in ("N", "P", "E"):
         A, B = np.asarray(a[f]), np.asarray(b[f])
-        la = _locs(A.shape[-1], SPACE_FRACS)
-        lb = _locs(B.shape[-1], SPACE_FRACS)
+        # Fractional locations on the COMMON grid prefix: the solver's E
+        # lives on edges 0..L-1 while the oracle's has all L+1 edges, and
+        # both index physical edge j at x = j*dx — sampling each array by
+        # its own length would compare DIFFERENT physical edges at the
+        # 70%/90% fractions (off by one dx), an O(1) dt-independent
+        # discrepancy where E is steep (caught by the corner gate's
+        # refinement assertion, tests/test_corner_gate.py).
+        Lc = min(A.shape[-1], B.shape[-1])
+        la = lb = _locs(Lc, SPACE_FRACS)
         errs = []
         for i in range(len(A)):
             x = A[i][:, la].ravel()
