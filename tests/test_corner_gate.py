@@ -77,18 +77,21 @@ def test_corner_sweep_parity_with_dt_refined_e_gate():
     assert med_ratio < 1.05, (
         f"E error GROWS under dt refinement (median ratio {med_ratio:.3f})"
         " — time-integration defect; investigate")
-    # KNOWN OPEN DEFECT (r3, must fix): the exported-E relative error is
-    # ~1.000 at EVERY corner — the solver's run_sweep E export and the
-    # oracle's dimensional E [V/nm] are at entirely different scales
-    # (||x|| << ||y||: ratio hugs 1 from both sides), i.e. a units/
-    # convention mismatch in the EXPORT/COMPARISON chain (run_sweep.py
-    # snap scaling KB_T/dx vs oracle.py), NOT in the solver: the
-    # in-solver E feeds the drift fluxes, and N/P match the oracle to
-    # 1e-3 with O(dt^2.1) refinement even at the lambda=10 corners,
-    # which a wrong internal E could not do.  Surfaced the moment the
-    # corner gate became runnable (the r2 placebo `errs["E"] < 2.0`
-    # passed ratio 1.0 silently).  Tracked as xfail so the defect stays
-    # loud without masking the N/P/PL parity this test enforces.
+    # KNOWN LIMITATION (r3, diagnosed): this corner matrix is E-BLIND.
+    # Every corner has mu_n == mu_p and pair-wise recombination, so
+    # transport is perfectly ambipolar and the true E is IDENTICALLY
+    # ZERO; the relative E "error" of ~1.000 compares the solver's f64
+    # noise (|E| ~ 1e-16 V/nm) against the oracle's own integration
+    # noise (|E| <= 7.4e-10 at rtol 1e-8, 4x larger at rtol 1e-6 —
+    # scaling with rtol, i.e. noise, not field).  The r2 placebo
+    # (`errs["E"] < 2.0`) hid this; the real gate exposed it in one run.
+    # r4: add mu-asymmetric corners (e.g. mu_n 35 / mu_p 5) to the
+    # matrix + regenerate the oracle cache so E becomes dynamically
+    # significant and this bound can be tightened to a real parity gate.
+    # Until then the magnitude check is xfail-tracked, and the
+    # stability assertion above still catches a runaway-E defect.
     if not np.nanmax(E2) < 0.2:
-        pytest.xfail(f"exported-E units mismatch vs oracle (rel err "
-                     f"{np.nanmax(E2):.3f} at all corners); see comment")
+        pytest.xfail(
+            f"E-degenerate corner matrix (ambipolar: true E == 0; rel "
+            f"norm {np.nanmax(E2):.3f} compares noise to noise); needs "
+            f"mu-asymmetric corners + oracle regen (r4)")
