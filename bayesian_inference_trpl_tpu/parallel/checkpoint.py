@@ -18,6 +18,7 @@ import numpy as np
 STATE_FILE = "checkpoint_state.json"
 P_FILE = "checkpoint_P.npy"
 X_FILE = "checkpoint_X.npy"
+PSTART_FILE = "checkpoint_P_curve_start.npy"
 
 
 @dataclass
@@ -44,13 +45,28 @@ class CheckpointManager:
                 os.path.join(self.out_dir, X_FILE))
 
     def load(self) -> Optional[tuple]:
-        """Returns (state, P, X) if a resumable checkpoint exists."""
+        """Returns (state, P, X, P_curve_start) if a resumable checkpoint
+        exists.  ``P_curve_start`` is the accumulator snapshot taken at the
+        start of the in-progress curve — the baseline the non-converged
+        retry pass repairs against on resume (a failed sample's running sum
+        is NaN in P, so the pre-curve value is not recoverable from P
+        alone).  Falls back to P itself for pre-r4 checkpoints."""
         sp, pp, xp = self._paths()
         if not (os.path.exists(sp) and os.path.exists(pp) and os.path.exists(xp)):
             return None
         with open(sp) as f:
             state = CheckpointState(**json.load(f))
-        return state, np.load(pp), np.load(xp)
+        P = np.load(pp)
+        psp = os.path.join(self.out_dir, PSTART_FILE)
+        P_start = np.load(psp) if os.path.exists(psp) else P.copy()
+        return state, P, np.load(xp), P_start
+
+    def save_curve_start(self, P):
+        """Snapshot the accumulator at the start of a curve (atomic)."""
+        psp = os.path.join(self.out_dir, PSTART_FILE)
+        tmp = psp + ".tmp.npy"
+        np.save(tmp, P)
+        os.replace(tmp, psp)
 
     def init(self, X, num_exp: int, num_curves: int, chunk: int) -> tuple:
         """Start a fresh run; persists X immediately (it fully determines
@@ -75,6 +91,6 @@ class CheckpointManager:
         os.replace(sp + ".tmp", sp)
 
     def clear(self):
-        for p in self._paths():
+        for p in self._paths() + (os.path.join(self.out_dir, PSTART_FILE),):
             if os.path.exists(p):
                 os.remove(p)

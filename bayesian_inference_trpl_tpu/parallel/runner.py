@@ -191,7 +191,8 @@ class ShardedRunner:
                   progress: Optional[Callable[[int, int], None]] = None,
                   chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
                   start_chunk: int = 0, out: Optional[np.ndarray] = None,
-                  obs_mask=None):
+                  obs_mask=None, P_start: Optional[np.ndarray] = None,
+                  retry_done: Optional[Callable[[], None]] = None):
         """Evaluate log-likelihood of every sample in X for one excitation
         curve against observations on the simulation PL time grid.
 
@@ -203,6 +204,16 @@ class ShardedRunner:
             ``out`` (their contributions come from the checkpoint).
           out: optional (num_exp, n) accumulator to ADD likelihoods into
             (NaN marks non-converged samples and propagates).
+          P_start: on resume, the accumulator snapshot from the START of
+            this curve (CheckpointManager.save_curve_start) — the retry
+            pass's repair baseline, and the reference for reconstructing
+            which completed-chunk samples failed (NaN in ``out`` but
+            finite at curve start).  Defaults to ``out`` as-is (fresh
+            curve).
+          retry_done: called once after the retry pass repairs any
+            samples, so the caller can re-checkpoint the repaired P
+            (without this, a resume after retry silently reverts the
+            repairs — ADVICE r3).
 
         Returns (out (num_exp, n), converged (n,)).
         """
@@ -221,12 +232,8 @@ class ShardedRunner:
         mask_rep = (None if obs_mask is None
                     else self._replicate(obs_mask, dtype))
 
-        if out is None:
-            out = np.zeros((num_exp, n))
-        # Pre-curve accumulations, kept for the non-converged retry repair
-        # (a failed sample's NaN contribution poisons its running sum).
-        P_before = out.copy() if self.retries else None
-        conv = np.ones(n, dtype=bool)
+        out, P_before, conv = self._init_accumulators(
+            out, num_exp, n, start_chunk, P_start)
         harvest = self._make_harvest(n, out, conv, chunk_done)
 
         # Double-buffered dispatch: chunk ci+1's host prep and shard
@@ -243,7 +250,34 @@ class ShardedRunner:
         if self.retries and not conv.all():
             self._retry_nonconverged(dispatch, mat_nd_all, mag_all, dtype,
                                      out, conv, P_before)
+            if retry_done is not None:
+                retry_done()
         return out, conv
+
+    def _init_accumulators(self, out, num_exp, n, start_chunk, P_start):
+        """Accumulator + retry baseline + convergence flags, resume-aware.
+
+        Fresh curve (start_chunk == 0): the retry baseline is a copy of
+        the incoming accumulations and every sample starts converged.
+        Resume mid-curve: the baseline is the checkpointed curve-start
+        snapshot, and samples in already-completed chunks whose running
+        sum is NaN but whose curve-start value was finite FAILED in this
+        curve — they are marked non-converged so the post-loop retry pass
+        re-dispatches them (samples already NaN at curve start died in an
+        earlier curve; retrying them here cannot repair anything)."""
+        if out is None:
+            out = np.zeros((num_exp, n))
+        if P_start is None or start_chunk == 0:
+            P_before = out.copy() if self.retries else None
+        else:
+            P_before = np.asarray(P_start).copy()
+        conv = np.ones(n, dtype=bool)
+        if start_chunk > 0 and P_before is not None:
+            done = min(start_chunk * self.chunk, n)
+            failed = (np.isnan(out[0, :done])
+                      & ~np.isnan(P_before[0, :done]))
+            conv[:done] = ~failed
+        return out, P_before, conv
 
     def _chunk_loop(self, dispatch, mat_nd_all, mag_all, dtype, n, harvest,
                     progress, start_chunk):
@@ -282,7 +316,9 @@ class ShardedRunner:
                           normalize: bool = False, dtype=None,
                           progress: Optional[Callable[[int, int], None]] = None,
                           chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
-                          start_chunk: int = 0, out: Optional[np.ndarray] = None):
+                          start_chunk: int = 0, out: Optional[np.ndarray] = None,
+                          P_start: Optional[np.ndarray] = None,
+                          retry_done: Optional[Callable[[], None]] = None):
         """Off-grid variant of :meth:`run_curve`: observation times are
         scored inside the scan from precomputed slot tables
         (models/offgrid.py) — no PL materialization, no host interp.
@@ -311,10 +347,8 @@ class ShardedRunner:
         cfg = sim.solver_config()
         schedule = tuple((int(s), int(c)) for s, c in schedule)
 
-        if out is None:
-            out = np.zeros((num_exp, n))
-        P_before = out.copy() if self.retries else None
-        conv = np.ones(n, dtype=bool)
+        out, P_before, conv = self._init_accumulators(
+            out, num_exp, n, start_chunk, P_start)
         harvest = self._make_harvest(n, out, conv, chunk_done)
 
         def dispatch(mat_c, mag_c):
@@ -327,4 +361,6 @@ class ShardedRunner:
         if self.retries and not conv.all():
             self._retry_nonconverged(dispatch, mat_nd_all, mag_all, dtype,
                                      out, conv, P_before)
+            if retry_done is not None:
+                retry_done()
         return out, conv

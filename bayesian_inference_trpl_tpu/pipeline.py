@@ -218,7 +218,8 @@ def bucket_horizons(plans, logger=None):
 
 def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
              runner: ShardedRunner, logger=None,
-             ckpt: Optional[CheckpointManager] = None, start=(0, 0)):
+             ckpt: Optional[CheckpointManager] = None, start=(0, 0),
+             P_start=None):
     """Evaluate likelihoods for all curves/experiments into P (in place).
 
     Mirrors the reference ``simulate`` control flow (bayeslib.py:83-205)
@@ -250,7 +251,24 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                     chunk=runner.chunk, curve_index=_ic, chunk_index=ci + 1)
                 ckpt.save_progress(state, P)
 
+        def _ckpt_retry(_ic=ic_num):
+            # Re-checkpoint after the retry pass repairs failed samples:
+            # without this, resuming after a curve's retry reverts its
+            # repairs to the pre-retry NaN sums (ADVICE r3).
+            if ckpt is not None:
+                n_chunks = -(-len(X) // runner.chunk)
+                _ckpt_chunk(n_chunks - 1, None, _ic=_ic)
+
         first_chunk = start_chunk if ic_num == start_curve else 0
+        # Snapshot the accumulator at the true start of each curve: the
+        # retry pass's repair baseline on resume (a failed sample's
+        # running sum is NaN, so the pre-curve value is unrecoverable
+        # from P itself).  On a mid-curve resume the snapshot on disk is
+        # already this curve's — do not overwrite it.
+        if ckpt is not None and first_chunk == 0:
+            ckpt.save_curve_start(P)
+        curve_P_start = (P_start if (ic_num == start_curve and first_chunk)
+                         else None)
         if plan is not None:
             sim_c, obs_vals, obs_mask = plan
             if logger:
@@ -264,7 +282,8 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                 progress=(lambda ci, nc: logger.info(
                     "Curve #%d: chunk %d of %d", ic_num, ci, nc)) if logger else None,
                 chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
-                obs_mask=obs_mask)
+                obs_mask=obs_mask, P_start=curve_P_start,
+                retry_done=_ckpt_retry)
         else:
             og = (plan_offgrid(cfg, sim, e_data, ic_num)
                   if cfg.grid.offgrid_fused else None)
@@ -281,7 +300,8 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                     progress=(lambda ci, nc: logger.info(
                         "Curve #%d: chunk %d of %d", ic_num, ci, nc))
                     if logger else None,
-                    chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P)
+                    chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
+                    P_start=curve_P_start, retry_done=_ckpt_retry)
             else:
                 if logger:
                     logger.info(
@@ -377,12 +397,13 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     ckpt = None
     start = (0, 0)
     resumed = False
+    P_start = None
     if cfg.checkpoint and cfg.paths.out_dirs and primary:
         ckpt = CheckpointManager(cfg.paths.out_dirs[0])
         if cfg.resume:
             loaded = ckpt.load()
             if loaded is not None:
-                state, P, X = loaded
+                state, P, X, P_start = loaded
                 start = (state.curve_index, state.chunk_index)
                 resumed = True
                 if logger:
@@ -396,10 +417,12 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
         # Multi-process: every process must agree on the primary's resume
         # point and accumulated P, or the per-chunk collectives desync
         # (only the primary reads the checkpoint).  Single-process: no-op.
-        start_a, P, X, resumed_f = dist.broadcast_from_primary(
-            (np.asarray(start), P, X, np.float64(resumed)))
+        start_a, P, X, P_start_b, resumed_f = dist.broadcast_from_primary(
+            (np.asarray(start), P, X,
+             P_start if P_start is not None else P, np.float64(resumed)))
         start = (int(start_a[0]), int(start_a[1]))
         resumed = bool(resumed_f)
+        P_start = P_start_b if resumed else None
     if logger:
         logger.info("Initialized %d random samples", len(X))
 
@@ -416,7 +439,7 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
         jax.profiler.start_trace(cfg.device.profile_dir)
     try:
         simulate(cfg, e_data, init_params, X, P, runner, logger=logger,
-                 ckpt=ckpt, start=start)
+                 ckpt=ckpt, start=start, P_start=P_start)
     finally:
         if profiling:
             jax.profiler.stop_trace()

@@ -111,6 +111,64 @@ class PosteriorData:
                                  if c else self.LL)
         return self
 
+    def ess(self) -> float:
+        """Kish effective sample size 1 / sum(w^2) of the normalized
+        weights.  ESS ~ 1 means the "posterior" is a delta at the best
+        sample (the r3 committed artifacts' failure mode: std 0.0 for
+        every parameter); quantitative summaries need ESS >> 1."""
+        assert self.P is not None, "call normalize() first"
+        return float(1.0 / np.sum(self.P ** 2))
+
+    def auto_temperature(self, params: Optional[List[str]] = None) -> float:
+        """Likelihood temperature from the reference's max-uncertainty
+        search (utils.py:172-183): per analyzed parameter, find the
+        temperature that maximizes that parameter's sample uncertainty
+        (the GUI's 'find the T factor' helper the user is otherwise
+        forced to guess, marginalization_visual.py:589-591); return the
+        MEDIAN over parameters as one defensible scalar.  Use as
+        ``data.normalize_temperature(data.auto_temperature())``."""
+        params = [p for p in (params or list(self.X)) if p in self.X]
+        tfs = [stats.find_best_tf_bracketed(self.X[p], self.LL)[0]
+               for p in params]
+        return float(np.median(tfs))
+
+    def temperature_for_ess(self, target: float = 100.0) -> float:
+        """Smallest temperature whose normalized weights reach the target
+        Kish ESS (bisection on log-temperature; ESS grows monotonically
+        with temperature from 1 at tau->0 to n at tau->inf).
+
+        This is an addition of this repo, not reference parity: the
+        reference GUI leaves the temperature entirely to the user.  A
+        random-search posterior over a 10-D box is often so peaked that
+        even the max-uncertainty temperature keeps ESS ~ O(1); committed
+        quantitative summaries (credible intervals, covariances) need a
+        floor on how many samples they actually average."""
+        LL = self.LL
+        spread = float(np.nanmax(LL) - np.nanmedian(LL))
+        if not np.isfinite(spread) or spread <= 0:
+            return 1.0
+        target = min(float(target), 0.5 * len(LL))
+
+        def ess_at(tau):
+            w = stats.normalize(LL / tau)
+            return 1.0 / np.sum(w ** 2)
+
+        lo, hi = spread * 1e-6, spread * 1e3
+        for _ in range(60):
+            mid = np.sqrt(lo * hi)
+            if ess_at(mid) < target:
+                lo = mid
+            else:
+                hi = mid
+        return float(hi)
+
+    def normalize_temperature(self, temperature: float):
+        """Normalize weights as P = normalize(LL / temperature) — the
+        direct-temperature form used with :meth:`auto_temperature` (the
+        same scale find_best_tf searches over)."""
+        self.P = stats.normalize(self.LL / float(temperature))
+        return self
+
     # -- summaries ----------------------------------------------------------
     def stats_summary(self) -> Dict[str, Tuple[float, float, float]]:
         """(weighted mean, sample std, sum w^2) per parameter (utils.py:119-126)."""

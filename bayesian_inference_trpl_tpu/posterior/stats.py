@@ -80,9 +80,29 @@ def _tf_driver(tf, xi, P):
 
 def find_best_tf(xi, P, u0):
     """Max-uncertainty search over the likelihood temperature factor
-    (reference: utils.py:172-183)."""
+    (reference: utils.py:172-183).  Starts the simplex at the caller's
+    ``u0`` exactly like the reference (where u0 is the GUI-typed value)."""
     opt = fmin(_tf_driver, np.log(u0), args=(xi, P), full_output=True, disp=False)
     return np.exp(opt[0][0]), -opt[1]
+
+
+def find_best_tf_bracketed(xi, P):
+    """Robust max-uncertainty temperature: bracket on a log grid spanning
+    the likelihood spread, then polish with the reference's fmin.
+
+    The raw fmin stalls when started in the degenerate region (weights a
+    delta -> sample uncertainty identically 0 -> Nelder-Mead sees a flat
+    objective and terminates at the start; measured on the r3 Power_scan
+    artifacts, where the per-point heuristic start 1.5e-3 is ~7 orders
+    below the responsive range for LL spreads of ~1e5)."""
+    P = np.asarray(P, dtype=float)
+    spread = float(np.nanmax(P) - np.nanmedian(P))
+    if not np.isfinite(spread) or spread <= 0:
+        return 1.0, 0.0
+    taus = spread * np.logspace(-6.0, 1.0, 36)
+    vals = [-_tf_driver(np.log(t), xi, P) for t in taus]
+    t0 = taus[int(np.argmax(vals))]
+    return find_best_tf(xi, P, t0)
 
 
 def _native():

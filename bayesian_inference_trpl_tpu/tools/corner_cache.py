@@ -44,6 +44,37 @@ def corner_matrix() -> np.ndarray:
     return mat_user * physics.UNIT_CONVERSIONS[:12]
 
 
+def e_corner_matrix() -> np.ndarray:
+    """16 mu-ASYMMETRIC corners where the electric field is dynamically
+    significant, closing the E-blindness of :func:`corner_matrix` (every
+    corner there has mu_n == mu_p + pairwise recombination, so transport
+    is perfectly ambipolar and the true E is identically zero).
+
+    With mu_n != mu_p the faster carrier outruns the slower one, space
+    charge develops, and a measured f64 survey (r4) shows max |E| of
+    2-4e-4 V/nm at every one of these corners — 5-6 orders above the
+    oracle's integration-noise floor (~7e-10 V/nm at rtol 1e-8), so the
+    relative E norm is well conditioned and a wrong-sign / wrong-scale
+    field assembly cannot pass.
+
+    Spans: both mobility orderings (35/5 and 5/35 cm^2/Vs), Highsurf
+    front vs back (Sf/Sb anti-correlated at {0.1, 1e5} cm/s), both
+    lifetime extremes {1, 2000} ns, both permittivity extremes
+    lambda {0.1, 10}; B pinned at the stiff-PL extreme 1e-9.
+    Reference counterpart: the Testing harness treats E as a first-class
+    compared field (Testing/compare.py:41-57, PV_tester2.py:131) but
+    never exercises a mu-asymmetric point either."""
+    corners = []
+    for (mun, mup), Sf, tau, lam in itertools.product(
+            ((35.0, 5.0), (5.0, 35.0)), (0.1, 1e5), (1.0, 2000.0),
+            (0.1, 10.0)):
+        Sb = 1e5 if Sf == 0.1 else 0.1
+        corners.append([1e8, 1e15, mun, mup, 1e-9, Sf, Sb, 1e-29, 1e-29,
+                        tau, tau, lam])
+    mat_user = np.asarray(corners)
+    return mat_user * physics.UNIT_CONVERSIONS[:12]
+
+
 def corner_sweep(mat: np.ndarray, T: int) -> dict:
     return dict(mat_par=mat, length=311.0, time=TIME, L=L, T=T,
                 tol_exp=9.0, max_iters=500, init_mode="exp",
@@ -85,15 +116,25 @@ def load_oracle(sweep: dict, rtol: float = RTOL, atol: float = ATOL,
 
 
 def main(argv=None):
+    import argparse
     import time
 
-    from . import apply_platform_env
-    apply_platform_env()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--matrix", choices=["box", "e"], default="box",
+                    help="'box' = 32 production-box corners (ambipolar); "
+                         "'e' = 16 mu-asymmetric E-significant corners")
+    args = ap.parse_args(argv)
+    # Pin the CPU backend BEFORE anything can initialize it: the oracle and
+    # the cache numerics must be platform-independent of the session's
+    # accelerator, and jax.config platform updates only take effect until
+    # backend init (an earlier jax.default_backend() probe here silently
+    # defeated the pin — ADVICE r3).
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
-    if jax.default_backend() != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    sweep = corner_sweep(corner_matrix(), T0 * 4)
+    mat = e_corner_matrix() if args.matrix == "e" else corner_matrix()
+    sweep = corner_sweep(mat, T0 * 4)
     path = cache_path(sweep)
     if os.path.exists(path):
         print(f"cache already present: {path}")

@@ -2,6 +2,7 @@
 (materialize PL -> clamp-log10 -> SSE with magnitude offset) exactly."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from bayesian_inference_trpl_tpu import physics
 from bayesian_inference_trpl_tpu.models import FusedObs, SimParams, pl_log_scale, pvsim
@@ -63,14 +64,21 @@ def test_fused_self_normalize(rng):
     np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-8)
 
 
-def test_fused_likelihood_finite_at_pl_floor():
+@pytest.mark.parametrize("method", [
+    pytest.param("coupled_newton", marks=pytest.mark.smoke),
+    "fused_horizon_chord"])
+def test_fused_likelihood_finite_at_pl_floor(method):
     """PL that decays to (or starts at) exact zero in float32 must yield
     FINITE likelihood terms, not NaN: min_val = sys.float_info.min rounds
     to 0.0 in f32, log10(0) = -inf, and the coarse-phase Lagrange dense
     output (mixed-sign weights) turns that into NaN sse on CONVERGED
     samples — the bulk of the r2/r3 production "non-converged" NaN
     populations (tau_n-bottom corner; docs/PRECISION.md).  The clamp floor
-    is now dtype-aware in _log_pl / the horizon kernel / fastlog."""
+    is now dtype-aware in _log_pl / the horizon kernel / fastlog.
+
+    Parametrized so the fast scan-path variant can run in the smoke tier
+    while the Mosaic-interpreted kernel variant (minutes on one core)
+    stays in the full suite."""
     import sys
     import jax.numpy as jnp
     from bayesian_inference_trpl_tpu import physics
@@ -95,14 +103,13 @@ def test_fused_likelihood_finite_at_pl_floor():
                    log_scale=jnp.asarray(pl_log_scale(sim), dtype),
                    min_val=sys.float_info.min)
     sched = ((1, 16), (8, 32))
-    for method in ("coupled_newton", "fused_horizon_chord"):
-        cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=8,
-                           method=method, predictor="linear", step_tol=1e-6)
-        r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
-                             sched)
-        assert np.asarray(r.converged).all(), method
-        assert np.isfinite(np.asarray(r.sse)).all(), method
-        assert np.isfinite(np.asarray(r.err_sum)).all(), method
+    cfg = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=8,
+                       method=method, predictor="linear", step_tol=1e-6)
+    r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, obs,
+                         sched)
+    assert np.asarray(r.converged).all(), method
+    assert np.isfinite(np.asarray(r.sse)).all(), method
+    assert np.isfinite(np.asarray(r.err_sum)).all(), method
 
     # fastlog (interp path) with an exact-zero f32 PL value.
     out = np.asarray(fastlog(jnp.zeros((2, 3), jnp.float32)))

@@ -5,6 +5,8 @@ import pytest
 
 from bayesian_inference_trpl_tpu.utils import io as bio
 
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
+
 REF_DATA = "/root/reference/Example Data"
 
 IC_FLAGS = {"time_cutoff": 2000, "select_obs_sets": None, "noise_level": None}

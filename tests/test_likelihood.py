@@ -2,6 +2,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from bayesian_inference_trpl_tpu.ops import likelihood as lk
+import pytest
+
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
 
 
 def test_fastlog_matches_reference_semantics(rng):

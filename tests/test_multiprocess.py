@@ -188,7 +188,7 @@ def test_two_process_checkpoint_resume(tmp_path):
     # The primary checkpointed exactly one completed chunk.
     from bayesian_inference_trpl_tpu.parallel.checkpoint import (
         CheckpointManager)
-    st, P_ck, X_ck = CheckpointManager(mp_dir).load()
+    st, P_ck, X_ck, _P_start = CheckpointManager(mp_dir).load()
     assert (st.curve_index, st.chunk_index) == (0, 1)
     assert X_ck.shape == X_ref.shape
 

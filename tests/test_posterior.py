@@ -3,6 +3,8 @@ import pytest
 
 from bayesian_inference_trpl_tpu.posterior import PosteriorData, stats
 from bayesian_inference_trpl_tpu.posterior.vizconfig import (
+
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
     VizConfig, load_vizconfig, save_vizconfig)
 
 

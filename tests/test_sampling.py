@@ -3,6 +3,8 @@ import jax
 
 from bayesian_inference_trpl_tpu.utils import sampling
 
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
+
 
 MIN_X = np.array([1e8, 1e14, 0.0, 20.0, 1e-11, 0.1, 0.1, 1e-30, 1e-30, 1.0, 1.0, 0.1, 0.0])
 MAX_X = np.array([1e8, 1e16, 50.0, 20.0, 1e-9, 100.0, 100.0, 1e-28, 1e-28, 1000.0, 2000.0, 0.1, 0.0])

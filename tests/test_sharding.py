@@ -126,3 +126,63 @@ def test_retry_nonconverged_repairs_likelihoods():
     # Untouched samples keep their original sums bit for bit.
     keep = np.setdiff1d(np.arange(n), failed)
     np.testing.assert_array_equal(out[:, keep], (P_prior + ll_true)[:, keep])
+
+
+def test_init_accumulators_resume_marks_completed_chunk_failures():
+    """Resume-aware accumulator init (ADVICE r3): samples that failed in
+    already-completed chunks (NaN running sum, finite at curve start)
+    must re-enter the retry set; samples already dead at curve start
+    (earlier-curve failure) must not."""
+    r = ShardedRunner(make_mesh(n_devices=2), chunk_per_device=2)  # chunk=4
+    n, num_exp = 10, 2
+    P_start = np.zeros((num_exp, n))
+    P_start[:, 7] = np.nan                 # dead from an earlier curve
+    out = P_start + 1.0                    # curve contributions so far
+    out[:, 2] = np.nan                     # failed in completed chunk 0
+    out[:, 5] = np.nan                     # failed in completed chunk 1
+    out[:, 9] = 0.0                        # chunk 2 not yet run
+
+    # Resuming at chunk 2: chunks 0-1 (samples 0-7) are complete.
+    o2, P_before, conv = r._init_accumulators(out, num_exp, n,
+                                              start_chunk=2, P_start=P_start)
+    assert o2 is out
+    np.testing.assert_array_equal(P_before, P_start)
+    assert not conv[2] and not conv[5]
+    assert conv[7], "earlier-curve death must not trigger a retry"
+    assert conv[[0, 1, 3, 4, 6, 8, 9]].all()
+
+    # Fresh curve: baseline is a copy of the incoming accumulations.
+    o3, P_before0, conv0 = r._init_accumulators(out, num_exp, n,
+                                                start_chunk=0, P_start=None)
+    np.testing.assert_array_equal(P_before0, out)
+    assert P_before0 is not out
+    assert conv0.all()
+
+
+def test_resume_after_final_chunk_runs_retry_and_recheckpoints(rng, monkeypatch):
+    """A run killed between a curve's final chunk checkpoint and its retry
+    pass must, on resume (start_chunk == n_chunks), re-run the retry for
+    the completed-chunk failures and invoke retry_done so the repairs are
+    re-checkpointed (ADVICE r3: without this, resumed and uninterrupted
+    runs diverge whenever retries recover samples)."""
+    import jax.numpy as jnp
+    from bayesian_inference_trpl_tpu.parallel import runner as prunner
+
+    X, sim, init_dn, obs = _problem(rng, 8)
+    r = ShardedRunner(make_mesh(n_devices=2), chunk_per_device=2)  # chunk=4
+    P_full, conv = r.run_curve(X, sim, init_dn, obs)
+    assert conv.all()
+
+    # Simulate the interrupted state: sample 1 (chunk 0) and sample 6
+    # (chunk 1) "failed" before the kill; curve-start accumulations were
+    # all zero.
+    P_start = np.zeros_like(P_full)
+    out = P_full.copy()
+    out[:, [1, 6]] = np.nan
+    calls = []
+    P2, conv2 = r.run_curve(X, sim, init_dn, obs, out=out,
+                            start_chunk=2, P_start=P_start,
+                            retry_done=lambda: calls.append(True))
+    assert conv2.all(), "retry must recover the completed-chunk failures"
+    assert calls == [True], "retry_done must fire exactly once"
+    np.testing.assert_allclose(P2, P_full, rtol=1e-12)

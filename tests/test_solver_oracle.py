@@ -63,9 +63,14 @@ def test_pl_and_state_match_oracle(parity_run):
         assert rel_pl < 5e-3, f"sample {i}: PL rel {rel_pl}"
         assert rel_n < 1e-3, f"sample {i}: N rel {rel_n}"
         assert rel_p < 1e-3, f"sample {i}: P rel {rel_p}"
-        # E converges ~O(dt^0.7) and is the loosest field in the reference's
-        # own harness too (docs/PRECISION.md) — tracked at a loose tolerance.
-        assert rel_e < 5e-2, f"sample {i}: E rel {rel_e}"
+        # At these draws (lambda pinned 0.1, mild mu asymmetry) the true E
+        # is 4.6e-10..1.4e-9 V/nm — AT the oracle's own noise floor
+        # (~7e-10 at rtol 1e-10..1e-8), so the relative norm measured
+        # here (3.4e-2 / 7.5e-3, r4) is part noise.  Tracked at 4e-2;
+        # the conditioned E parity gate (true E ~3e-4 V/nm, 5+ orders
+        # above noise) is tests/test_corner_gate.py::
+        # test_e_corner_gate_mu_asymmetric.
+        assert rel_e < 4e-2, f"sample {i}: E rel {rel_e}"
 
 
 def test_pl_t0_exact(parity_run):

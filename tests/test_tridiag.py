@@ -2,6 +2,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from bayesian_inference_trpl_tpu.ops.tridiag import (
+import pytest
+
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
     pcr_solve, residual_l1, thomas_solve, tridiag_matvec)
 
 

@@ -4,6 +4,8 @@ import pytest
 
 from bayesian_inference_trpl_tpu.utils import validate
 
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
+
 
 def test_validate_ic_rejects_wrong_length():
     validate.validate_ic([np.zeros(128)], 128)
