@@ -41,8 +41,8 @@ class RunnerTimers:
 
 
 @partial(jax.jit, static_argnames=("cfg", "normalize", "fast"))
-def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
-                      normalize: bool, fast=None, obs_mask=None):
+def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, obs_mask=None,
+                      *, cfg: SolverConfig, normalize: bool, fast=None):
     """SPMD chunk program: solve + fused likelihood.  Returns
     (P_chunk (num_exp, chunk), converged (chunk,)).
 
@@ -73,8 +73,8 @@ def _chunk_likelihood(mat_nd, mag, dn, obs_values, log_scale, cfg: SolverConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "normalize", "schedule"))
 def _chunk_likelihood_offgrid(mat_nd, mag, dn, phase_tables, v0, m0, n_obs,
-                              log_scale, cfg: SolverConfig, normalize: bool,
-                              schedule):
+                              log_scale, *, cfg: SolverConfig,
+                              normalize: bool, schedule):
     """SPMD chunk program for OFF-GRID observation times: solve with the
     slot-table fused likelihood (models/offgrid.py).  Returns
     (P_chunk (num_exp, chunk), converged (chunk,))."""
@@ -91,6 +91,17 @@ def _chunk_likelihood_offgrid(mat_nd, mag, dn, phase_tables, v0, m0, n_obs,
                                    mag[None, :])
     ll = jnp.where(res.converged[None, :], ll, jnp.nan)
     return ll, res.converged
+
+
+# Executable-cache dispatchers (utils/aot_cache.py): jit-cache semantics in
+# process, plus serialized executables on disk so fresh processes skip the
+# minutes-long chunk-program compiles (r3 cold e2e was 17x warm).  Disabled
+# with TRPL_EXE_CACHE=0; any failure falls back to the plain jit call.
+from ..utils.aot_cache import AotDispatch  # noqa: E402
+
+_chunk_dispatch = AotDispatch(_chunk_likelihood, label="chunk")
+_chunk_dispatch_offgrid = AotDispatch(_chunk_likelihood_offgrid,
+                                      label="chunk_offgrid")
 
 
 class ShardedRunner:
@@ -241,9 +252,11 @@ class ShardedRunner:
         # async; np.asarray in harvest is the only sync point).  The
         # reference runs strictly serial H2D -> kernel -> D2H per launch
         # (bayeslib.py:131-146).
+        statics = dict(cfg=cfg, normalize=normalize, fast=fast)
+
         def dispatch(mat_c, mag_c):
-            return _chunk_likelihood(mat_c, mag_c, dn, obs_rep, log_scale,
-                                     cfg, normalize, fast, mask_rep)
+            return _chunk_dispatch(statics, mat_c, mag_c, dn, obs_rep,
+                                   log_scale, mask_rep)
 
         self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
                          progress, start_chunk)
@@ -351,10 +364,12 @@ class ShardedRunner:
             out, num_exp, n, start_chunk, P_start)
         harvest = self._make_harvest(n, out, conv, chunk_done)
 
+        statics = dict(cfg=cfg, normalize=normalize, schedule=schedule)
+
         def dispatch(mat_c, mag_c):
-            return _chunk_likelihood_offgrid(
-                mat_c, mag_c, dn, phase_tables, v0, m0, n_obs, log_scale,
-                cfg, normalize, schedule)
+            return _chunk_dispatch_offgrid(
+                statics, mat_c, mag_c, dn, phase_tables, v0, m0, n_obs,
+                log_scale)
 
         self._chunk_loop(dispatch, mat_nd_all, mag_all, dtype, n, harvest,
                          progress, start_chunk)

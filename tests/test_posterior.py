@@ -3,9 +3,9 @@ import pytest
 
 from bayesian_inference_trpl_tpu.posterior import PosteriorData, stats
 from bayesian_inference_trpl_tpu.posterior.vizconfig import (
+    VizConfig, load_vizconfig, save_vizconfig)
 
 pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
-    VizConfig, load_vizconfig, save_vizconfig)
 
 
 def make_data(rng, n=2000):

@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 
 from bayesian_inference_trpl_tpu.utils import sampling
 

@@ -1,11 +1,12 @@
 import numpy as np
 import jax.numpy as jnp
 
-from bayesian_inference_trpl_tpu.ops.tridiag import (
 import pytest
 
-pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
+from bayesian_inference_trpl_tpu.ops.tridiag import (
     pcr_solve, residual_l1, thomas_solve, tridiag_matvec)
+
+pytestmark = pytest.mark.smoke   # fast tier: pure numerics/io
 
 
 def make_system(rng, batch, L, dominance=2.5):

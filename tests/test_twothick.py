@@ -119,9 +119,14 @@ def test_twothick_posterior_peak_and_single_compile(twothick):
 
     tmp_path, obs, exc = twothick
     cfg = _cfg(tmp_path, obs, exc, thickness=list(THICKS), n_points=16)
-    cache_before = runner_mod._chunk_likelihood._cache_size()
+    # Compiled-program count = jit cache + the executable-cache memo
+    # (whichever layer dispatched; utils/aot_cache.py).
+    def _programs():
+        return (runner_mod._chunk_likelihood._cache_size()
+                + len(runner_mod._chunk_dispatch._memo))
+    cache_before = _programs()
     P, X, _ = bayes(cfg)
-    compiles = runner_mod._chunk_likelihood._cache_size() - cache_before
+    compiles = _programs() - cache_before
     assert compiles <= 1, f"expected one shared chunk program, got {compiles}"
     assert P.shape == (1, 16)
     assert np.isfinite(P).all()
