@@ -51,3 +51,50 @@ def test_sweep_combinations():
     assert mat.shape == (4, 12)
     assert sorted(map(tuple, mat[:, 1:3].tolist())) == [
         (2.0, 4.0), (2.0, 5.0), (3.0, 4.0), (3.0, 5.0)]
+
+
+@pytest.mark.smoke
+def test_load_exact_validates_shape_rows_and_metadata(tmp_path):
+    """The exact-cache loader must reject shards, truncated assemblies,
+    and wrong-profile files instead of silently gating wrong rows
+    (ADVICE r3)."""
+    from bayesian_inference_trpl_tpu.tools.accuracy_gate import load_exact
+
+    lp = np.random.default_rng(0).normal(size=(8, 101))
+    full = str(tmp_path / "full.npy")
+    np.save(full, lp)
+    assert load_exact(full, 8, 100).shape == (8, 101)
+    with pytest.raises(SystemExit):
+        load_exact(full, 16, 100)          # wrong batch
+    with pytest.raises(SystemExit):
+        load_exact(full, 8, 200)           # wrong T
+
+    shard = str(tmp_path / "shard.npz")
+    np.savez(shard, lp64=lp[2:6], rows=np.array([2, 6]), batch=8, T=100,
+             seed=0, profile="power_scan")
+    with pytest.raises(SystemExit):
+        load_exact(shard, 8, 100)          # partial rows must fail
+
+    ok = str(tmp_path / "ok.npz")
+    np.savez(ok, lp64=lp, rows=np.array([0, 8]), batch=8, T=100,
+             seed=0, profile="power_scan")
+    assert load_exact(ok, 8, 100, seed=0, profile="power_scan").shape == (8, 101)
+    with pytest.raises(SystemExit):
+        load_exact(ok, 8, 100, seed=1)     # wrong seed
+    with pytest.raises(SystemExit):
+        load_exact(ok, 8, 100, profile="synthetic")
+
+
+@pytest.mark.smoke
+def test_shifted_curves_interpolation():
+    from bayesian_inference_trpl_tpu.tools.timeshift_demo import shifted_curves
+
+    t = np.arange(11, dtype=float)
+    lp = -0.5 * t
+    s = shifted_curves(lp, [0.0, 0.5, -0.5])
+    np.testing.assert_allclose(s[0], lp, atol=1e-12)
+    # +0.5-step shift samples the curve half a step later (interior).
+    np.testing.assert_allclose(s[1][3], -0.5 * 3.5, atol=1e-12)
+    # Ends clamp rather than extrapolate.
+    assert s[1][-1] == lp[-1]
+    assert s[2][0] == lp[0]
