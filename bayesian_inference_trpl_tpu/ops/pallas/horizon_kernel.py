@@ -43,7 +43,14 @@ TIME_BLOCK = 384           # BDF steps per grid step (must be % 6 == 0)
 # Chord-mode refresh policy (see _newton_solve_chord). Env-overridable for
 # on-TPU tuning sweeps; the defaults are the shipped, gate-validated values.
 CHORD_BUDGET = int(os.environ.get("TRPL_CHORD_BUDGET", "3"))
-CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.5"))
+# Stall threshold is PER-PROFILE (r4 sweep, BENCH_EXACT_BATCH=256): the
+# looser 0.7 gains +1.5% in exact mode (13,457 -> 13,657 sims/min/chip:
+# fewer Jacobian refreshes, and the throughput profile's settle guard
+# still accepts the stalled-at-floor tail) but costs -3.5% on the fast
+# path (strict acceptance makes the extra stalled chord iterations pure
+# waste there: 213.4k -> 206.0k) — so the strict profile keeps 0.5.
+CHORD_STALL = float(os.environ.get("TRPL_CHORD_STALL", "0.7"))
+CHORD_STALL_STRICT = float(os.environ.get("TRPL_CHORD_STALL_STRICT", "0.5"))
 # Chord acceptance is tighter than the full path's SKIP_ACCEPT_FACTOR:
 # chord converges linearly, so the accepted residual sits just under the
 # threshold instead of quadratically below it (the full path's polish
@@ -75,11 +82,25 @@ STRICT_SKIP_TIGHTEN = 0.1
 
 
 def _chord_knobs(cfg):
-    """(settle_guard, skip_tighten) for a SolverConfig's chord profile."""
+    """(settle_guard, skip_tighten, stall) for a SolverConfig's chord
+    profile."""
     if getattr(cfg, "chord_strict", False):
-        return STRICT_SETTLE_GUARD, STRICT_SKIP_TIGHTEN
-    return CHORD_SETTLE_GUARD, CHORD_SKIP_TIGHTEN
+        return STRICT_SETTLE_GUARD, STRICT_SKIP_TIGHTEN, CHORD_STALL_STRICT
+    return CHORD_SETTLE_GUARD, CHORD_SKIP_TIGHTEN, CHORD_STALL
 _TILE_ENV = os.environ.get("TRPL_HORIZON_TILE")
+
+
+def _chord_tile(cfg):
+    """Sample tile for the chord kernel, per profile (r4 A/B, 3 reps):
+    the STRICT profile (fast-path phases) runs best at the full 256-lane
+    tile (216.2-217.7k vs 212.1-213.8k sims/min/chip at 128: +1.8%),
+    while the throughput profile (exact mode) collapses there (13.5k ->
+    11.3k: the ~56 (tile, L) chord-scratch arrays at tile 256 leave too
+    little VMEM for the time-block pipeline at its much higher
+    solve-iteration density) — so exact keeps the halved tile.  Tiles
+    below 128 are unrepresentable (the mat block's lane dim must be 128
+    or the full array)."""
+    return SAMPLE_TILE if getattr(cfg, "chord_strict", False) else SAMPLE_TILE // 2
 
 
 def _approx_recip(x):
@@ -193,7 +214,8 @@ def _newton_solve(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
 
 def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
                         cache_refs, approx_inv: bool,
-                        settle_guard: float, skip_tighten: float):
+                        settle_guard: float, skip_tighten: float,
+                        stall: float):
     """Frozen-Jacobian (chord) Newton with a VMEM-resident cached PCR
     factorization that PERSISTS ACROSS TIME STEPS.
 
@@ -337,8 +359,8 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             # Jacobian has drifted too far (or the problem is genuinely
             # hard) -> full Newton next iteration.
             act = 1.0 - done
-            bad = jnp.max(act * ((err_n2 > CHORD_STALL * err_n) |
-                                 (err_p2 > CHORD_STALL * err_p)).astype(
+            bad = jnp.max(act * ((err_n2 > stall * err_n) |
+                                 (err_p2 > stall * err_p)).astype(
                                      act.dtype))
             ffull = jnp.where((bad > 0.5) | (it + 1 >= CHORD_BUDGET),
                               1.0, 0.0)
@@ -364,7 +386,8 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
             has_mask: bool, n_blocks: int, pred_order: int,
             approx_inv: bool, t_real: int, chord: bool = False,
             stride: int = 1, ext_pl0: bool = False,
-            settle_guard: float = 0.0, skip_tighten: float = 1.0):
+            settle_guard: float = 0.0, skip_tighten: float = 1.0,
+            stall: float = 0.5):
     from ...models.trpl import MatParams
 
     # Optional inputs (static layout): dense-output weight table + optional
@@ -505,7 +528,8 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
             Nn, Pn, En, done, its = _newton_solve_chord(
                 Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
                 chord_scratch, approx_inv=approx_inv,
-                settle_guard=settle_guard, skip_tighten=skip_tighten)
+                settle_guard=settle_guard, skip_tighten=skip_tighten,
+                stall=stall)
         else:
             Nn, Pn, En, done, its = _newton_solve(
                 Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
@@ -626,13 +650,14 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
                               "chord", "t_real", "interpret", "stride",
-                              "settle_guard", "skip_tighten"))
+                              "settle_guard", "skip_tighten", "stall"))
 def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
           scalars, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
           pred_order: int, tile: int, approx_inv: bool, chord: bool,
           t_real: int, interpret: bool, stride: int,
-          settle_guard: float = 0.0, skip_tighten: float = 1.0):
+          settle_guard: float = 0.0, skip_tighten: float = 1.0,
+          stall: float = 0.5):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
     n_tiles = batch // tile
@@ -716,7 +741,8 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         normalize=normalize, has_mask=has_mask, n_blocks=n_blocks,
         pred_order=pred_order, approx_inv=approx_inv, t_real=t_real,
         chord=chord, stride=stride, ext_pl0=ext_pl0,
-        settle_guard=settle_guard, skip_tighten=skip_tighten)
+        settle_guard=settle_guard, skip_tighten=skip_tighten,
+        stall=stall)
     in_specs = [mat_spec, field_spec, field_spec, field_spec,
                 obs3_spec if stride > 1 else obs_spec, obs_spec]
     args = [mat_t, n0, p0, e0, obs_sc, msk_sc]
@@ -811,7 +837,7 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         # Chord mode carries the cached PCR factorization (~56 extra
         # (tile, L) scratch arrays); halve the tile to stay inside VMEM.
         tile = min(int(_TILE_ENV) if _TILE_ENV
-                   else (SAMPLE_TILE // 2 if chord else SAMPLE_TILE),
+                   else (_chord_tile(cfg) if chord else SAMPLE_TILE),
                    -(-batch // 8) * 8)
     padded = -(-batch // tile) * tile
 
@@ -856,7 +882,7 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         # pl.reciprocal is TPU-hardware-backed; interpret mode (CPU
         # testing) keeps exact divides so parity gates stay strict.
         approx_inv = not interpret
-    settle_guard, skip_tighten = _chord_knobs(cfg)
+    settle_guard, skip_tighten, stall = _chord_knobs(cfg)
     outs = _call(
         mat_t, n0, p0, e0, obs_sc, msk_sc, None, None, bdf_tab, scalars,
         max_iters=int(cfg.max_iters), tb=int(tb),
@@ -866,7 +892,8 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
         t_real=int(T), interpret=bool(interpret), stride=1,
-        settle_guard=settle_guard, skip_tighten=skip_tighten)
+        settle_guard=settle_guard, skip_tighten=skip_tighten,
+        stall=stall)
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None
@@ -955,7 +982,7 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
 
     if tile is None:
         tile = min(int(_TILE_ENV) if _TILE_ENV
-                   else (SAMPLE_TILE // 2 if chord else SAMPLE_TILE),
+                   else (_chord_tile(cfg) if chord else SAMPLE_TILE),
                    -(-batch // 8) * 8)
     padded = -(-batch // tile) * tile
 
@@ -1012,7 +1039,7 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
 
     if approx_inv is None:
         approx_inv = not interpret
-    settle_guard, skip_tighten = _chord_knobs(cfg)
+    settle_guard, skip_tighten, stall = _chord_knobs(cfg)
     outs = _call(
         mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         scalars,
@@ -1023,7 +1050,8 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
         tile=int(tile),
         approx_inv=bool(approx_inv), chord=bool(chord),
         t_real=int(C), interpret=bool(interpret), stride=int(S),
-        settle_guard=settle_guard, skip_tighten=skip_tighten)
+        settle_guard=settle_guard, skip_tighten=skip_tighten,
+        stall=stall)
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None

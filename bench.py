@@ -193,12 +193,14 @@ def main():
     # the chord policy (VMEM-cached PCR factorization reused across steps,
     # refreshed on residual stall — ops/pallas/horizon_kernel.py).
     exact_method = os.environ.get("BENCH_EXACT_METHOD", "fused_horizon_chord")
-    # Quadratic (O(dt^3)) extrapolation predictor for exact mode: the
-    # smoother start drops mean Newton work to <1 solve/step (0.98 at
-    # T=80k) for ~8% more throughput than linear; trajectory deviation vs
-    # the f32 XLA coupled-Newton path is 4.6e-4 rms log10-PL, below the
-    # f32-vs-f64 floor (~1e-3) and the reference's own f32 error (4.7e-3).
-    exact_predictor = os.environ.get("BENCH_EXACT_PREDICTOR", "quadratic")
+    # Geometric predictor (X * X/X_prev — exact for local exponential
+    # decay) for exact mode: r4 A/B at BENCH_EXACT_BATCH=256 measured
+    # 14,008.6 sims/min/chip vs 13,457.5 for quadratic (+4.1%; tile body
+    # iters/step 1.067 -> 1.018).  The FAST path keeps quadratic
+    # (geometric measured -1.2% there: the ladder's coarse phases are not
+    # locally exponential at stride 64).  Same fixed point either way —
+    # the predictor only moves the Newton starting iterate.
+    exact_predictor = os.environ.get("BENCH_EXACT_PREDICTOR", "geometric")
     cfg_exact = cfg._replace(method=exact_method, predictor=exact_predictor)
 
     @jax.jit

@@ -218,3 +218,23 @@ def test_linear_predictor_steep_profile_converges():
                        method="coupled_newton", predictor="linear")
     r = solve(mat_nd, n0, p0, jnp.zeros_like(n0), cfg, record_pl=False)
     assert np.asarray(r.converged).all(), np.asarray(r.sample_iters)
+
+
+@pytest.mark.parametrize("predictor", ["previous", "linear", "quadratic",
+                                       "geometric"])
+def test_predictor_parity(problem, predictor):
+    """Every predictor converges to the same fixed point (the predictor
+    only moves the Newton STARTING iterate; acceptance is tol-gated), so
+    sse must agree across predictors to the f32 acceptance budget.
+    Geometric is the shipped exact-mode bench default (r4: +4.1% —
+    1.018 tile iters/step vs 1.067 for quadratic)."""
+    sim, mat_nd, n0, p0, e0, cfg, obs = problem
+    base = solve(mat_nd, n0, p0, e0,
+                 cfg._replace(predictor="previous", tol=1e-7, max_iters=60),
+                 obs=obs, record_pl=False)
+    r = solve(mat_nd, n0, p0, e0,
+              cfg._replace(predictor=predictor, tol=1e-7, max_iters=60),
+              obs=obs, record_pl=False)
+    assert np.asarray(r.converged).all()
+    np.testing.assert_allclose(np.asarray(r.sse), np.asarray(base.sse),
+                               rtol=5e-4)
