@@ -27,6 +27,21 @@ import pytest  # noqa: E402
 from bayesian_inference_trpl_tpu import physics  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory_between_modules():
+    """Drop compiled programs between test modules.
+
+    A full-suite run accumulates every module's jitted programs in one
+    process (~10 GB RSS by the 115th test on this host), after which an
+    ordinary XLA:CPU compile (test_twophase's T=240 scan — fine in
+    isolation: <2 min, <4 GB) degenerates into a ~30-minute allocation
+    storm ending in a compiler segfault.  Reproduced twice at the same
+    test before this fixture; modules don't share programs, so the only
+    cost is a handful of intra-module recompiles."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
