@@ -287,8 +287,13 @@ class ShardedRunner:
         conv = np.ones(n, dtype=bool)
         if start_chunk > 0 and P_before is not None:
             done = min(start_chunk * self.chunk, n)
-            failed = (np.isnan(out[0, :done])
-                      & ~np.isnan(P_before[0, :done]))
+            # Any-NaN across experiment rows: _chunk_likelihood broadcasts
+            # NaN over all rows for non-converged samples, but a
+            # data-induced NaN in a single row (bad mag/obs value) must be
+            # retried too, so the check cannot lean on that invariant
+            # (ADVICE r4).
+            failed = (np.isnan(out[:, :done]).any(axis=0)
+                      & ~np.isnan(P_before[:, :done]).any(axis=0))
             conv[:done] = ~failed
         return out, P_before, conv
 

@@ -338,6 +338,13 @@ def main(argv=None):
         if args.rows:
             lo, hi = (int(v) for v in args.rows.split(":"))
             rows = (lo, hi)
+        if args.exact_file is None:
+            # Same default path the gate branch derives (ADVICE r4: a bare
+            # --exact-only used to crash on path.endswith(None)).
+            tag = "" if args.profile == "synthetic" else f"_{args.profile}"
+            rtag = f"_rows_{rows[0]}_{rows[1]}" if rows else ""
+            args.exact_file = (f"/tmp/trpl_exact_{args.T}_{args.batch}_"
+                               f"{args.seed}{tag}{rtag}.npy")
         lp64 = exact_curves(args.batch, args.T, args.seed,
                             profile=args.profile, rows=rows)
         if rows is not None:

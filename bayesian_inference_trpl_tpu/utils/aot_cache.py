@@ -121,6 +121,18 @@ class AotDispatch:
         path = os.path.join(d, f"{self._label}_{key}") if d else None
         if path and os.path.exists(path):
             try:
+                # Deserialized blobs execute code on load (pickle): only
+                # trust cache files we wrote ourselves.  TRPL_EXE_CACHE
+                # must point at a private directory — a shared or
+                # attacker-writable dir would be arbitrary code execution
+                # (ADVICE r4) — so refuse files not owned by this uid or
+                # writable by group/other.
+                st = os.stat(path)
+                if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                    raise PermissionError(
+                        f"untrusted cache file (uid {st.st_uid}, mode "
+                        f"{oct(st.st_mode & 0o777)}); expected uid "
+                        f"{os.getuid()} and no group/other write")
                 with open(path, "rb") as f:
                     blob = pickle.load(f)
                 self._memo[key] = se.deserialize_and_load(*blob)
@@ -137,6 +149,7 @@ class AotDispatch:
                 tmp = path + f".tmp{os.getpid()}"
                 with open(tmp, "wb") as f:
                     pickle.dump(blob, f)
+                os.chmod(tmp, 0o600)     # see the load-side trust check
                 os.replace(tmp, path)
                 logger.info("aot_cache: saved %s", path)
             except Exception as e:  # backend without serialization
