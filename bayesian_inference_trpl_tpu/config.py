@@ -54,7 +54,7 @@ class GridConfig:
     bucket_horizons: bool = True
     # Score off-grid (e.g. log-spaced) observation times inside the scan
     # via dense-output slot tables (models/offgrid.py) instead of the
-    # materialize-PL-and-interpolate fallback (pipeline._simulate_interp).
+    # materialize-PL-and-interpolate fallback (runner.run_curve_interp).
     offgrid_fused: bool = True
 
     def thickness_for_curve(self, ic_num: int, num_curves: int) -> float:
@@ -100,6 +100,13 @@ class SimFlags:
     override_equal_auger: bool = False
     log_pl: bool = True
     self_normalize: bool = False
+    # sigma-weighted SSE: divide each log-space residual by the loaded
+    # uncertainty (sigma/PL/2.3, utils/io.py) — the division the reference
+    # accepts but leaves commented out (probs.py:40).  Default OFF =
+    # reference parity (uncertainties loaded, never consumed).  Supported
+    # on all three likelihood paths (fused on-grid, off-grid slot tables,
+    # interpolating fallback) via per-point weights 1/sigma^2.
+    use_uncertainty: bool = False
     seed: int = 42
 
     def as_dict(self):

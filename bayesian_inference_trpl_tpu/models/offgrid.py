@@ -79,7 +79,9 @@ def _lagrange_at(x: float, r: int) -> np.ndarray:
 def build_offgrid_tables(times: Sequence[np.ndarray],
                          values: Sequence[np.ndarray],
                          schedule: Schedule, dt: float,
-                         rtol: float = 1e-9) -> OffGridTables:
+                         rtol: float = 1e-9,
+                         weights: Sequence[np.ndarray] | None = None
+                         ) -> OffGridTables:
     """Map each experiment's (time, log-PL) points onto phase/step/offset
     slot tables for :func:`solve_multiphase_offgrid`.
 
@@ -88,35 +90,44 @@ def build_offgrid_tables(times: Sequence[np.ndarray],
         each >= 0 and <= sum-of-schedule * dt (validated).
       schedule: ((stride, num_fine_steps), ...) fine-first phase plan.
       dt: fine step size.
+      weights: optional per-experiment per-point weights (1/sigma^2 for
+        the sigma-weighted SSE, sim_flags.use_uncertainty); the mask slot
+        then carries the weight instead of 1.0 and ``n_obs`` is the
+        weight sum — the accumulation is weight-linear
+        (solver.FusedObs.mask docs), so 0/1 stays bitwise identical.
     """
     E = len(times)
     T = sum(n for _, n in schedule)
     v0 = np.zeros(E)
     m0 = np.zeros(E)
+    seen0 = np.zeros(E, dtype=bool)
     n_obs = np.zeros(E)
-    # buckets[p][c] = list of (e, frac, value)
+    # buckets[p][c] = list of (e, frac, value, weight)
     buckets = [[[] for _ in range(n // s)] for s, n in schedule]
     bounds = np.cumsum([0] + [n for _, n in schedule])
     for e in range(E):
         t = np.asarray(times[e], dtype=float)
         v = np.asarray(values[e], dtype=float)
-        if t.ndim != 1 or t.shape != v.shape:
-            raise ValueError("times/values must be matching 1-D arrays")
+        w = (np.ones_like(v) if weights is None
+             else np.asarray(weights[e], dtype=float))
+        if t.ndim != 1 or t.shape != v.shape or w.shape != v.shape:
+            raise ValueError("times/values/weights must be matching 1-D arrays")
         f = t / dt
         if np.any(f < -rtol * T) or np.any(f > T * (1 + rtol)):
             raise ValueError(
                 f"observation time outside simulated horizon "
                 f"[0, {T * dt}] (experiment {e})")
         f = np.clip(f, 0.0, T)
-        n_obs[e] = len(t)
-        for fj, vj in zip(f, v):
+        n_obs[e] = w.sum()
+        for fj, vj, wj in zip(f, v, w):
             if fj <= rtol * max(T, 1):
-                if m0[e]:
+                if seen0[e]:
                     # Multiple t=0 points would need a list; the CSV format
                     # splits curves at t==0 so at most one exists per curve.
                     raise ValueError(f"duplicate t=0 observation (exp {e})")
                 v0[e] = vj
-                m0[e] = 1.0
+                m0[e] = wj
+                seen0[e] = True
                 continue
             p = int(np.searchsorted(bounds[1:], fj, side="left"))
             S = schedule[p][0]
@@ -124,12 +135,12 @@ def build_offgrid_tables(times: Sequence[np.ndarray],
             c = int(np.ceil(local / S - rtol)) - 1
             c = min(max(c, 0), len(buckets[p]) - 1)
             frac = local / S - c
-            buckets[p][c].append((e, frac, vj))
+            buckets[p][c].append((e, frac, vj, wj))
 
     phases = []
     for p, (S, n) in enumerate(schedule):
         C = n // S
-        K = max(1, max((sum(1 for (e, _, _) in bk if e == ei)
+        K = max(1, max((sum(1 for (e, *_rest) in bk if e == ei)
                         for bk in buckets[p] for ei in range(E)), default=1))
         W = np.zeros((C, E, K, 4))
         V = np.zeros((C, E, K))
@@ -137,11 +148,11 @@ def build_offgrid_tables(times: Sequence[np.ndarray],
         fill = np.zeros((C, E), dtype=int)
         for c, bk in enumerate(buckets[p]):
             r = min(c, 2)
-            for (e, frac, vj) in bk:
+            for (e, frac, vj, wj) in bk:
                 k = fill[c, e]
                 W[c, e, k] = _lagrange_at(2.0 + frac, r)
                 V[c, e, k] = vj
-                M[c, e, k] = 1.0
+                M[c, e, k] = wj
                 fill[c, e] = k + 1
         phases.append((W, V, M))
     return OffGridTables(phases=tuple(phases), v0=v0, m0=m0, n_obs=n_obs)
@@ -188,9 +199,12 @@ def _phase_offgrid(mat_nd, n0, p0, e0, cfg: SolverConfig, obs_meta: FusedObs,
         # on the XLA:TPU in-scan small-dot miscompile).
         lp_at = jnp.sum(W[:, :, :, None] * lp_win[None, None, :, :],
                         axis=2)                        # (E, K, batch)
-        err = (lp_at - V[:, :, None]) * M[:, :, None]
-        sse = sse + jnp.sum(err * err, axis=1)
-        esum = esum + jnp.sum(err, axis=1)
+        # Weight-linear accumulation (w e^2, w e): bitwise identical for
+        # 0/1 masks, exact for sigma weights (solver.FusedObs.mask docs).
+        err = lp_at - V[:, :, None]
+        m = M[:, :, None]
+        sse = sse + jnp.sum(m * err * err, axis=1)
+        esum = esum + jnp.sum(m * err, axis=1)
         # Only padded-tail steps (no observation at or after them) are
         # forgiven; interior unobserved steps still gate conv because the
         # trajectory they corrupt feeds later observation points.
@@ -243,10 +257,10 @@ def solve_offgrid(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
 
     # t=0 term.
     lp0 = _log_pl(pl0, obs_meta, pl0)
-    e0 = (lp0[None, :] - jnp.asarray(tables.v0, dtype)[:, None]) \
-        * jnp.asarray(tables.m0, dtype)[:, None]
+    e0 = lp0[None, :] - jnp.asarray(tables.v0, dtype)[:, None]
+    m0 = jnp.asarray(tables.m0, dtype)[:, None]
     acc = (jnp.ones((batch,), bool), jnp.int32(0),
-           jnp.zeros((batch,), jnp.int32), e0 ** 2, e0)
+           jnp.zeros((batch,), jnp.int32), m0 * e0 ** 2, m0 * e0)
 
     # Per-step liveness: a coarse step is "live" while any real observation
     # remains at or after it (across all experiments); only the padded tail

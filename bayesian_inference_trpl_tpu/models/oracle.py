@@ -53,13 +53,21 @@ def dydt(t, y, L, dx, n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP, lam_nm):
 
 
 def solve_oracle(mat_par, length, time, L, num_pl, init_dn,
-                 rtol=1e-8, atol=1e-12, max_step=1.0):
+                 rtol=1e-8, atol=1e-12, max_step=None, retries=6):
     """Integrate one parameter set; returns times, N(t), P(t), E(t), PL(t).
 
     Args:
       mat_par: 12 (V, nm, ns)-unit parameters [n0..lambda] (lambda in nm).
       init_dn: (L,) initial excess density [nm^-3].
       num_pl: number of PL samples (including t=0) on a uniform grid.
+      max_step: solve_ivp hmax; None picks it from the low-injection
+        effective lifetime — fast-decaying samples (tau_eff < time/100)
+        start at hmax 0.025 ns, others at 1.0 ns, the reference CPU
+        fallback's heuristic (pvSim_fallback.py:94-98).
+      retries: a result with negative densities (or a failed integration
+        at an extreme corner) is re-integrated with hmax halved, up to
+        this many times — the reference test harness's recovery loop
+        (Testing/PV_tester2.py:104-118).
 
     PL uses the rectangle rule B * sum(NP - n0 p0) * dx, matching the
     production solver's observable (pvSimPCR.py:276-281, :393); the
@@ -68,14 +76,35 @@ def solve_oracle(mat_par, length, time, L, num_pl, init_dn,
     """
     n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP, lam_nm = [float(v) for v in mat_par]
     dx = length / L
+    if max_step is None:
+        # Exact inverse of UNIT_CONVERSIONS' mobility->diffusivity factor
+        # (physics.py:34): nm^2/ns diffusivity -> cm^2/Vs mobility.
+        mu_n = DN / (physics.KB_T * 1e14 / 1e9)
+        teff = physics.LI_tau_eff(B, p0, tauN, Sf, Sb, CP, length, mu_n)
+        max_step = 0.025 if teff < time / 100.0 else 1.0
     y0 = np.concatenate([init_dn + n0, init_dn + p0, np.zeros(L + 1)])
     t_eval = np.linspace(0.0, time, num_pl)
-    sol = solve_ivp(
-        dydt, (0.0, time), y0, t_eval=t_eval, method="BDF",
-        args=(L, dx, n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP, lam_nm),
-        rtol=rtol, atol=atol, max_step=max_step)
-    if not sol.success:
-        raise RuntimeError(f"oracle integration failed: {sol.message}")
+    h = float(max_step)
+    last_msg = ""
+    for attempt in range(retries + 1):
+        sol = solve_ivp(
+            dydt, (0.0, time), y0, t_eval=t_eval, method="BDF",
+            args=(L, dx, n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP,
+                  lam_nm),
+            rtol=rtol, atol=atol, max_step=h)
+        if sol.success:
+            N = sol.y[:L]
+            P = sol.y[L:2 * L]
+            if not ((N < 0).any() or (P < 0).any()):
+                break
+            last_msg = f"negative densities at hmax={h}"
+        else:
+            last_msg = sol.message
+        h /= 2.0
+    else:
+        raise RuntimeError(
+            f"oracle integration failed after {retries} hmax halvings "
+            f"(final hmax {h}): {last_msg}")
     N = sol.y[:L]
     P = sol.y[L:2 * L]
     E = sol.y[2 * L:]

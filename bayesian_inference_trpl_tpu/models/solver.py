@@ -82,9 +82,14 @@ class FusedObs:
     ``min_val``: clamp floor applied to PL before log10
     (reference: probs.py:64-76 via bayeslib.py:157).
 
-    ``mask``: optional (num_exp, n_pl) 0/1 weights — observation points with
-    mask 0 contribute nothing (used when experiments have different curve
-    lengths: shorter curves are zero-padded to the simulated horizon).
+    ``mask``: optional (num_exp, n_pl) NONNEGATIVE per-point weights w_i:
+    the accumulated terms are sse = sum w_i e_i^2 and esum = sum w_i e_i,
+    so the closed-form magnitude offset yields sum w_i (e_i + m)^2.
+    Weight 0 = padding (points contribute nothing; used when experiments
+    have different curve lengths).  Weight 1/sigma_i^2 = the sigma-weighted
+    likelihood (sim_flags.use_uncertainty — the division the reference
+    left commented out at probs.py:40).  For 0/1 masks the sums are
+    bitwise identical to the unweighted accumulation.
 
     Registered as a pytree with (min_val, normalize) as static aux data so
     jitted callers can branch on ``normalize`` at trace time.
@@ -351,8 +356,11 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
     elif obs is not None:
         e0 = _log_pl(pl0, obs, pl0) - obs.values[:, 0:1]      # (num_exp, batch)
         if obs.mask is not None:
-            e0 = e0 * obs.mask[:, 0:1]
-        sse0, esum0 = e0 ** 2, e0
+            # Weight-linear accumulation (w e^2, w e) — see FusedObs.mask.
+            m0 = obs.mask[:, 0:1]
+            sse0, esum0 = m0 * e0 ** 2, m0 * e0
+        else:
+            sse0, esum0 = e0 ** 2, e0
     else:
         sse0 = esum0 = jnp.zeros((1, batch), dtype)
 
@@ -390,10 +398,12 @@ def solve(mat_nd, n_init, p_init, e_init, cfg: SolverConfig,
             if obs.mask is not None:
                 mcol = jax.lax.dynamic_index_in_dim(
                     obs.mask, j + 1, axis=1, keepdims=True)
-                e = e * mcol
                 pad_only = jnp.sum(mcol) == 0
-            sse = sse + e ** 2
-            esum = esum + e
+                sse = sse + mcol * e ** 2
+                esum = esum + mcol * e
+            else:
+                sse = sse + e ** 2
+                esum = esum + e
         conv = conv & (ok if pad_only is None else (ok | pad_only))
         ys = []
         if record_pl:

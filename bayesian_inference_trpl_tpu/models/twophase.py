@@ -173,13 +173,18 @@ def _coarse_phase(mat_nd, n0, p0, e0, cfg: SolverConfig, obs: FusedObs,
         lp_fine = jnp.sum(W[:, :, None] * lp_win[None, :, :], axis=1)  # (S, batch)
         e = lp_fine[None, :, :] - obs_slice[:, :, None]   # (num_exp, S, batch)
         if mask_slice is not None:
-            e = e * mask_slice[:, :, None]
+            # Weight-linear accumulation (w e^2, w e) — bitwise identical
+            # for 0/1 masks, exact for sigma weights (FusedObs.mask docs).
+            m = mask_slice[:, :, None]
             # Padding-only coarse steps (bucket_horizons tail) carry no
             # likelihood weight; Newton failures there must not NaN the
             # sample (conv freezes at the end of the real horizon).
             ok = ok | (jnp.sum(mask_slice) == 0)
-        sse = sse + jnp.sum(e * e, axis=1)
-        esum = esum + jnp.sum(e, axis=1)
+            sse = sse + jnp.sum(m * e * e, axis=1)
+            esum = esum + jnp.sum(m * e, axis=1)
+        else:
+            sse = sse + jnp.sum(e * e, axis=1)
+            esum = esum + jnp.sum(e, axis=1)
         return (nh, ph, eh, lp_win, conv & ok,
                 jnp.maximum(max_it, jnp.max(iters)), samp_it + iters,
                 sse, esum), None

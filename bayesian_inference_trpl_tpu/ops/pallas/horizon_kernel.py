@@ -77,6 +77,9 @@ CHORD_SKIP_TIGHTEN = float(os.environ.get("TRPL_CHORD_SKIP_TIGHTEN", "1.0"))
 # cannot afford but the exact mode can (f32 single-phase stepping is
 # already ~1e-3 off f64; the reference's own f32 scheme sits at 4.7e-3).
 CHORD_SETTLE_GUARD = float(os.environ.get("TRPL_CHORD_SETTLE_GUARD", "10.0"))
+# Hoist the first chord/Newton iteration out of the while loop (measured
+# SLOWER — see the refutation note at the hoist site; default off).
+CHORD_SPECULATE = os.environ.get("TRPL_CHORD_SPECULATE", "0") == "1"
 STRICT_SETTLE_GUARD = 0.0
 STRICT_SKIP_TIGHTEN = 0.1
 
@@ -367,10 +370,23 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             return (Nk, Pk, F_N, F_P, err_n2, err_p2, done, its, it + 1,
                     ffull)
 
+        # Speculative first iteration OUTSIDE the while loop (the "no
+        # while-carry on the common 1-iteration step" restructure
+        # PRECISION.md's r4 sweep proposed): solve_loop only runs when at
+        # least one sample failed the cheap check, so the while body
+        # always executed >= once — hoisting that first execution into
+        # straight-line code is bitwise-identical math.  MEASURED SLOWER
+        # (r5, batch 256 T=80k: 9.4k vs 14.0k sims/min/chip): the body
+        # duplication roughly doubles the per-step instruction footprint
+        # and Mosaic's scheduling of the big straight-line block loses
+        # more than the saved loop-carry traffic.  Kept behind
+        # TRPL_CHORD_SPECULATE=1 as the recorded refutation; default off.
+        carry = (Nk, Pk, F_N, F_P, err_n, err_p, done0, col0,
+                 jnp.int32(0), ffull0)
+        if CHORD_SPECULATE:
+            carry = body(carry)
         Nk, Pk, _, _, err_n, err_p, done, its, _, _ = jax.lax.while_loop(
-            cond, body,
-            (Nk, Pk, F_N, F_P, err_n, err_p, done0, col0, jnp.int32(0),
-             ffull0))
+            cond, body, carry)
         ok_fin = ((err_n < tol) & (err_p < tol)).astype(done.dtype)
         return Nk, Pk, jnp.maximum(done, ok_fin), its
 
@@ -572,11 +588,16 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
                 o = obs_ref[e_i, c]
                 err = lp - o
                 if has_mask:
+                    # Weight-linear accumulation (w e^2, w e): bitwise
+                    # identical for 0/1 masks, and exact for the
+                    # sigma-weighted likelihood (FusedObs.mask docs).
                     m = msk_ref[e_i, c]
-                    err = err * m
                     w_any = m if w_any is None else jnp.maximum(w_any, m)
-                sse_s[e_i, :] = sse_s[e_i, :] + (err * err)[:, 0]
-                esum_s[e_i, :] = esum_s[e_i, :] + err[:, 0]
+                    sse_s[e_i, :] = sse_s[e_i, :] + (m * err * err)[:, 0]
+                    esum_s[e_i, :] = esum_s[e_i, :] + (m * err)[:, 0]
+                else:
+                    sse_s[e_i, :] = sse_s[e_i, :] + (err * err)[:, 0]
+                    esum_s[e_i, :] = esum_s[e_i, :] + err[:, 0]
         else:
             # Roll the window, append the new coarse node, reconstruct
             # log-PL at the S fine offsets as a (tile, S) lane-dim op:
@@ -594,15 +615,19 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
                 o = obs_ref[e_i, c]                               # (S,)
                 err = lp_fine - o[None, :]
                 if has_mask:
-                    err = err * vmask_ref[e_i, c][None, :]
+                    vm = vmask_ref[e_i, c][None, :]
                     m = msk_ref[e_i, c]       # step weight = max over S
                     w_any = m if w_any is None else jnp.maximum(w_any, m)
-                sse_s[e_i] = sse_s[e_i] + err * err
-                esum_s[e_i] = esum_s[e_i] + err
+                    sse_s[e_i] = sse_s[e_i] + vm * err * err
+                    esum_s[e_i] = esum_s[e_i] + vm * err
+                else:
+                    sse_s[e_i] = sse_s[e_i] + err * err
+                    esum_s[e_i] = esum_s[e_i] + err
         if has_mask:
             # Padding-only steps (zero weight in every experiment) cannot
             # poison convergence (models/solver.py pad_only semantics).
-            ok_col = jnp.maximum(ok_col, 1.0 - w_any)
+            # where, not 1-w: weights may exceed 1 (sigma-weighting).
+            ok_col = jnp.where(w_any > 0.0, ok_col, 1.0)
         conv_s[:] = conv_s[:] * jnp.maximum(ok_col, 0.0)
 
     # ---- TB steps: fori over 6-step sub-blocks with static slot layout.
@@ -905,10 +930,13 @@ def solve_horizon_fused(mat_nd, n_init, p_init, cfg, obs,
     pl0 = pl_observable(n0[:batch], p0[:batch], mp)
     e0 = _log_pl(pl0, obs, pl0) - values[:, 0:1]
     if obs.mask is not None:
-        e0 = e0 * jnp.asarray(obs.mask, dtype)[:, 0:1]
-
-    sse = sse[:, :batch] + e0 ** 2
-    esum = esum[:, :batch] + e0
+        # Weight-linear t=0 term (bitwise identical for 0/1 masks).
+        m0 = jnp.asarray(obs.mask, dtype)[:, 0:1]
+        sse = sse[:, :batch] + m0 * e0 ** 2
+        esum = esum[:, :batch] + m0 * e0
+    else:
+        sse = sse[:, :batch] + e0 ** 2
+        esum = esum[:, :batch] + e0
     its_b = its[:batch, 0]
     return SolveResult(
         pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],

@@ -27,7 +27,6 @@ import numpy as np
 from . import physics
 from .config import InferenceConfig
 from .models.driver import SimParams
-from .ops import likelihood as lk
 from .parallel.checkpoint import CheckpointManager
 from .parallel.mesh import make_mesh
 from .parallel.runner import ShardedRunner
@@ -89,14 +88,32 @@ def plan_fused_horizon(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int
                       fast_steps_per_phase=sim.fast_steps_per_phase)
     n = T_c + 1
     values = np.zeros((num_exp, n))
-    need_mask = any(l != n for l in lengths)
+    weighted = cfg.sim_flags.use_uncertainty
+    need_mask = weighted or any(l != n for l in lengths)
     mask = np.zeros((num_exp, n)) if need_mask else None
     for e in range(num_exp):
         v = np.asarray(e_data[e][1][ic_num])
         values[e, :len(v)] = v
         if mask is not None:
-            mask[e, :len(v)] = 1.0
+            mask[e, :len(v)] = (_sigma_weights(e_data[e][2][ic_num])
+                                if weighted else 1.0)
     return sim_c, values, mask
+
+
+def _sigma_weights(sigma):
+    """Per-point weights 1/sigma^2 for the sigma-weighted SSE
+    (sim_flags.use_uncertainty).  sigma is the loaded log-space
+    uncertainty (sigma/PL/2.3, utils/io.py); NaN or ~zero entries
+    (missing third column, zero-count bins) get weight 1 so a sparse
+    sigma column degrades to the unweighted SSE point-by-point instead
+    of an inf-weighted likelihood; sigma=inf (an explicit "no
+    information" marker) gets weight 0."""
+    s = np.asarray(sigma, dtype=float)
+    w = np.ones_like(s)
+    good = s > 1e-30          # False for NaN and for ~zero sigmas
+    with np.errstate(divide="ignore"):
+        w[good] = 1.0 / s[good] ** 2
+    return w
 
 
 def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
@@ -105,7 +122,7 @@ def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
 
     Returns None when the curve cannot be fused off-grid (observation times
     beyond the simulated horizon keep the reference's interpolate-to-NaN
-    semantics via ``_simulate_interp``)."""
+    semantics via ``ShardedRunner.run_curve_interp``)."""
     from .models.offgrid import build_offgrid_tables
 
     num_exp = len(e_data)
@@ -131,12 +148,15 @@ def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
                       fast_max_stride=sim.fast_max_stride,
                       fast_steps_per_phase=sim.fast_steps_per_phase)
     schedule = sim_c.fast_phases or ((1, T_c),)
+    weights = ([_sigma_weights(e_data[e][2][ic_num]) for e in range(num_exp)]
+               if cfg.sim_flags.use_uncertainty else None)
     try:
-        tables = build_offgrid_tables(times, values, schedule, sim_c.dt)
+        tables = build_offgrid_tables(times, values, schedule, sim_c.dt,
+                                      weights=weights)
     except ValueError as exc:
         # Malformed-but-loadable observation data (e.g. duplicate t=0 rows)
-        # keeps the documented contract: fall back to _simulate_interp
-        # rather than aborting the whole inference run.
+        # keeps the documented contract: fall back to the interpolated
+        # likelihood rather than aborting the whole inference run.
         import logging
         logging.getLogger(__name__).warning(
             "off-grid fusion unavailable for curve %d (%s); "
@@ -306,60 +326,25 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                 if logger:
                     logger.info(
                         "Observation times off-grid: interpolating likelihood")
-                conv = _simulate_interp(cfg, sim, e_data, init_params[ic_num],
-                                        ic_num, X, P, runner, dtype, logger,
-                                        chunk_done=_ckpt_chunk,
-                                        start_chunk=first_chunk)
+                _, conv = runner.run_curve_interp(
+                    X, sim, init_params[ic_num],
+                    [np.asarray(e_data[e][0][ic_num]) for e in range(num_exp)],
+                    [np.asarray(e_data[e][1][ic_num]) for e in range(num_exp)],
+                    normalize=cfg.sim_flags.self_normalize,
+                    log_pl=cfg.sim_flags.log_pl,
+                    obs_weights=(
+                        [_sigma_weights(e_data[e][2][ic_num])
+                         for e in range(num_exp)]
+                        if cfg.sim_flags.use_uncertainty else None),
+                    dtype=dtype,
+                    progress=(lambda ci, nc: logger.info(
+                        "Curve #%d: chunk %d of %d", ic_num, ci, nc))
+                    if logger else None,
+                    chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
+                    P_start=curve_P_start, retry_done=_ckpt_retry)
         conv_all &= conv
     P[:, ~conv_all] = np.nan
     return conv_all
-
-
-def _simulate_interp(cfg, sim, e_data, ini_par, ic_num, X, P, runner, dtype,
-                     logger, chunk_done=None, start_chunk=0):
-    """Unfused path: materialize PL per chunk, log it, interpolate onto each
-    experiment's time grid, and reduce (reference: bayeslib.py:150-201).
-    Checkpoints after each completed chunk exactly like the fused path."""
-    import jax.numpy as jnp
-    from .models.driver import pvsim
-
-    num_exp = len(e_data)
-    chunk = runner.chunk
-    sim_times = sim.pl_times
-    conv = np.ones(len(X), dtype=bool)
-    n_chunks = -(-len(X) // chunk)
-    for ci in range(start_chunk, n_chunks):
-        lo = ci * chunk
-        hi = min(lo + chunk, len(X))
-        t0 = time.perf_counter()
-        res = pvsim(X[lo:hi, :12], sim, ini_par, init_mode="points", dtype=dtype)
-        pl = np.asarray(res.pl)
-        runner.timers.solver_time += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        if cfg.sim_flags.self_normalize:
-            pl = pl / pl[:, 0:1]
-        if cfg.sim_flags.log_pl:
-            pl = np.asarray(lk.fastlog(jnp.asarray(pl)))
-        runner.timers.misc_time += time.perf_counter() - t0
-        for e in range(num_exp):
-            times = np.asarray(e_data[e][0][ic_num])
-            values = np.asarray(e_data[e][1][ic_num])
-            t0 = time.perf_counter()
-            pl_i = np.asarray(lk.interp_pl(jnp.asarray(sim_times), jnp.asarray(pl),
-                                           jnp.asarray(times)))
-            runner.timers.misc_time += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            ll = np.asarray(lk.log_likelihood(jnp.asarray(pl_i), jnp.asarray(values),
-                                              jnp.asarray(X[lo:hi, 12])))
-            P[e, lo:hi] += ll
-            runner.timers.err_sq_time += time.perf_counter() - t0
-        pnc = ~np.asarray(res.converged)
-        if pnc.any():
-            P[:, lo:hi][:, pnc] = np.nan
-        conv[lo:hi] = ~pnc
-        if chunk_done is not None:
-            chunk_done(ci, None)
-    return conv
 
 
 def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
@@ -369,6 +354,8 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
     the sample matrix in user units (n, 13), and run diagnostics.
     """
     t_start = time.perf_counter()
+    from .utils import program_cache as _pcache
+    build_t0 = _pcache.build_seconds()
     # Multi-host: join the global runtime when the coordinator env vars are
     # set (the SLURM-array replacement; parallel/distributed.py).  Every
     # process runs this same function; host-side RNG state is identical
@@ -453,7 +440,8 @@ def bayes(cfg: InferenceConfig, logger: Optional[logging.Logger] = None):
             bio.export(out_dir, P[i], X_user, logger=logger)
 
     info = dict(runtime=time.perf_counter() - t_start, **runner.timers.as_dict(),
-                num_samples=len(X), num_devices=runner.n_devices)
+                num_samples=len(X), num_devices=runner.n_devices,
+                program_build_time=_pcache.build_seconds() - build_t0)
     if logger:
         logger.info("Total tEvol time: %.2fs; err_sq: %.2fs; misc: %.2fs",
                     runner.timers.solver_time, runner.timers.err_sq_time,

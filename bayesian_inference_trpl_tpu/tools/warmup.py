@@ -17,9 +17,14 @@ Usage (once after install or after changing solver code):
     python -m bayesian_inference_trpl_tpu.tools.warmup examples/power_scan.toml
 
 Subsequent full-scale runs of the same config skip compilation.
-(The alternative — serializing executables to disk, utils/aot_cache.py —
-is opt-in only: dispatching through deserialized executables is
-synchronous on this backend and measured 7x slower end-to-end.)
+
+Since round 5 this is mostly automatic: the persistent XLA compilation
+cache (utils/compile_cache.py) and the serialized-program cache
+(utils/program_cache.py) are ON by default, so the first production run
+after a code change plays the role of warmup and every later process
+starts hot (trace+lower+compile ~117 s -> ~2 s, measured on the shipped
+chunk program).  This tool remains the explicit way to pay that
+first-run cost at install time instead of inside a production run.
 """
 from __future__ import annotations
 

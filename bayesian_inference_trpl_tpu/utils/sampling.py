@@ -109,37 +109,45 @@ def make_grid(num_exp: int, min_x, max_x, do_log, sim_flags: dict,
 # --- Legacy coarse-grid sampler (capability parity) ------------------------
 
 def index_grid(N, refs):
-    """Cell index -> per-dimension coordinate (reference: Legacy/legacy.py:11-26)."""
-    cN = N.copy()
-    K = len(refs)
-    M = len(refs[0])
-    pN = np.ones(M, int)
-    indexes = np.zeros((len(N), M), int)
-    for k in range(K):
-        ref = refs[K - k - 1]
-        ind = []
-        for m in range(len(ref)):
-            ind.append(cN % ref[m])
-            cN //= ref[m]
-        indexes += np.array(ind).T * pN
-        pN *= ref
-    return indexes
+    """Flat cell ids -> per-dimension grid coordinates.
+
+    Semantics (behavior parity with Legacy/legacy.py:11-26, re-derived):
+    ``refine_grid`` encodes a cell id as a mixed-radix number whose
+    digits are, from least significant, the per-dimension sub-indices of
+    each refinement level (latest level in the low digits, dimensions
+    minor within a level).  The coordinate of a cell along dimension m is
+    then the level digits for m weighted by the resolution of all FINER
+    levels along m.  Fully vectorized: one divmod broadcast over the
+    (K*M,) radix sequence, one weighted sum over levels.
+    """
+    N = np.asarray(N)
+    refs = np.asarray(refs, dtype=int)            # (K levels, M dims)
+    K, M = refs.shape
+    radices = refs[::-1].reshape(-1)              # innermost level first
+    place = np.concatenate(([1], np.cumprod(radices[:-1])))
+    digits = (N[:, None] // place[None, :]) % radices[None, :]
+    digits = digits.reshape(len(N), K, M)         # (n, level, dim)
+    # Weight of level k's digit along dim m = prod of finer levels' radix.
+    weight = np.concatenate(
+        [np.ones((1, M), dtype=int), np.cumprod(refs[::-1], axis=0)[:-1]])
+    return np.einsum("nkm,km->nm", digits, weight)
 
 
 def param_grid(ind, refs, min_x, max_x, do_log):
-    """Coordinates -> cell-center parameter values, log-aware
-    (reference: Legacy/legacy.py:28-32)."""
-    pN = np.prod(refs, axis=0)
+    """Grid coordinates -> cell-center parameter values; log-spaced
+    dimensions interpolate geometrically (behavior parity with
+    Legacy/legacy.py:28-32; a log dimension with a degenerate zero lower
+    bound collapses to 0 exactly as the original's nan_to_num did)."""
+    frac = (ind + 0.5) / np.prod(refs, axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
-        x_lin = min_x + (max_x - min_x) * (ind + 0.5) / pN
-        x_log = min_x * (max_x / min_x) ** ((ind + 0.5) / pN)
-    return np.where(np.isnan(x_log), x_lin * (1 - do_log),
-                    x_lin * (1 - do_log) + np.nan_to_num(x_log) * do_log)
+        x_log = np.nan_to_num(min_x * (max_x / min_x) ** frac)
+    x_lin = min_x + (max_x - min_x) * frac
+    return np.where(do_log, x_log, x_lin)
 
 
 def refine_grid(N, ref):
-    """Refine each cell into prod(ref) subcells (reference: Legacy/legacy.py:34-37)."""
-    siz = np.prod(ref)
-    reN = np.arange(siz)
-    N = np.add.outer(reN, N * siz)
-    return N.flatten(order="F")
+    """Split each cell id into ``prod(ref)`` consecutive subcell ids
+    (behavior parity with Legacy/legacy.py:34-37): cell n maps to
+    n*siz .. n*siz+siz-1, ordered cell-major."""
+    siz = int(np.prod(ref))
+    return (np.asarray(N)[:, None] * siz + np.arange(siz)[None, :]).ravel()

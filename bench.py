@@ -40,18 +40,25 @@ def _measure_e2e(n_samples, T, method):
     placement, double-buffered solve, export) on synthesized observations
     (BASELINE.md row 3).
 
-    Runs bayes() TWICE in-process: the first (cold) call pays tracing +
-    any compile-cache misses, the second (warm) reuses the in-process jit
-    cache entirely, so cold - warm isolates compile/trace overhead and the
-    warm number is the reproducible steady-state e2e rate (VERDICT r2,
-    weak #4: the single cold number spread 46k-82.8k between sessions).
-    Returns (cold_s, warm_s, sims/min cold, sims/min warm, stage dict)."""
+    Three measurements:
+      * cold (in-process first call) — pays whatever the disk caches
+        (utils/{program_cache,compile_cache}.py, default ON) cannot
+        cover; `build` reports the program trace/lower/compile seconds
+        inside it, so the split is first-class (VERDICT r4 item 1);
+      * warm (second call) — in-process jit cache, the steady-state rate;
+      * coldproc — a FRESH subprocess running one bayes() on the same
+        config: the true cold-start a user sees on every run after the
+        first (disk caches hot).  The r4 cold number was 18x warm; the
+        caches target <= 3x.
+    Returns (cold_s, warm_s, rate_cold, rate_warm, stages, build_s,
+    coldproc dict or None)."""
+    import subprocess
     import tempfile
 
     import numpy as np
     from bayesian_inference_trpl_tpu.config import (
         DeviceConfig, GridConfig, IcFlags, InferenceConfig, ParamSpace,
-        Paths, SimFlags)
+        Paths, SimFlags, dump_config)
     from bayesian_inference_trpl_tpu.models.driver import SimParams
     from bayesian_inference_trpl_tpu.pipeline import bayes
 
@@ -89,6 +96,20 @@ def _measure_e2e(n_samples, T, method):
         t0 = time.perf_counter()
         _, _, info_warm = bayes(cfg)
         warm = time.perf_counter() - t0
+        coldproc = None
+        if not bool(int(os.environ.get("BENCH_SKIP_COLDPROC", "0"))):
+            cfg_path = os.path.join(td, "e2e.toml")
+            with open(cfg_path, "w") as f:
+                f.write(dump_config(cfg))
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--e2e-child", cfg_path],
+                    capture_output=True, text=True, timeout=1800, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                coldproc = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception as e:
+                coldproc = {"error": f"{type(e).__name__}: {e}"[:200]}
     sims = n_samples * (T / 80000.0)
     # Stage attribution for the warm run (each bayes() call creates a fresh
     # runner, so timers are per-run): solver = dispatch + device sync,
@@ -98,7 +119,26 @@ def _measure_e2e(n_samples, T, method):
               for k in ("solver_time", "err_sq_time", "misc_time")}
     stages["other_time"] = round(
         info_warm["runtime"] - sum(stages.values()), 2)
-    return (cold, warm, sims / cold * 60.0, sims / warm * 60.0, stages)
+    return (cold, warm, sims / cold * 60.0, sims / warm * 60.0, stages,
+            info_cold.get("program_build_time", 0.0), coldproc)
+
+
+def _e2e_child(cfg_path):
+    """Fresh-process cold measurement: device contact, then ONE bayes()."""
+    t_start = time.perf_counter()
+    import jax
+    from bayesian_inference_trpl_tpu.config import load_config
+    from bayesian_inference_trpl_tpu.pipeline import bayes
+
+    cfg = load_config(cfg_path)
+    jax.devices()
+    connect = time.perf_counter() - t_start
+    t0 = time.perf_counter()
+    _, _, info = bayes(cfg)
+    print(json.dumps(dict(
+        connect_s=round(connect, 2),
+        bayes_s=round(time.perf_counter() - t0, 2),
+        build_s=round(info.get("program_build_time", 0.0), 2))))
 
 
 def main():
@@ -334,15 +374,24 @@ def main():
             ss_per_s * flops_per_step / VPU_PEAK_F32 * 100.0, 1)
     if e2e is not None:
         # Whole bayes() run: sampling, IO, nondim, sharding, double-buffered
-        # solve, export (BASELINE.md row 3).  Cold pays tracing/compile;
-        # warm is the steady-state rate with a per-stage breakdown.
-        cold_s, warm_s, cold_rate, warm_rate, stages = e2e
+        # solve, export (BASELINE.md row 3).  Cold pays whatever the disk
+        # caches can't cover (build_s = program trace/lower/compile inside
+        # it); warm is the steady-state rate with a per-stage breakdown;
+        # coldproc is a fresh subprocess with hot disk caches — the true
+        # recurring cold start, gated informally at <= 3x warm (VERDICT r4).
+        cold_s, warm_s, cold_rate, warm_rate, stages, build_s, coldproc = e2e
         out["e2e_wallclock_s"] = round(cold_s, 1)
         out["e2e_samples"] = e2e_samples
         out["e2e_sims_per_min_chip"] = round(cold_rate, 1)
+        out["e2e_build_s"] = round(build_s, 1)
         out["e2e_warm_wallclock_s"] = round(warm_s, 1)
         out["e2e_warm_sims_per_min_chip"] = round(warm_rate, 1)
         out["e2e_warm_stages_s"] = stages
+        if coldproc is not None:
+            out["e2e_coldproc"] = coldproc
+            if "bayes_s" in coldproc:
+                out["e2e_cold_multiple"] = round(
+                    coldproc["bayes_s"] / warm_s, 2)
     if offgrid is not None:
         out["offgrid_sims_per_min_chip"] = round(offgrid, 1)
         out["offgrid_points"] = offgrid_points
@@ -352,4 +401,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--e2e-child":
+        _e2e_child(sys.argv[2])
+    else:
+        main()

@@ -12,6 +12,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # Mosaic interpreter on CPU; production dispatch only does that when asked
 # (off-TPU it falls back to the compiled scan — see solver._horizon_kernel_ok).
 os.environ["TRPL_HORIZON_INTERPRET"] = "1"
+# The serialized-program cache (ON by default) would export + re-compile
+# every chunk program a test traces — pure overhead at test shapes.  The
+# dedicated tests (test_program_cache.py) re-enable it via monkeypatch.
+os.environ["TRPL_PROGRAM_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -217,7 +217,7 @@ def test_checkpoint_resume_interp(tmp_path, monkeypatch):
     """Preemption mid-curve on the interpolating (off-grid) path: the
     resumed run must pick up at the interrupted chunk and reproduce an
     uninterrupted run exactly."""
-    from bayesian_inference_trpl_tpu.models import driver as drv
+    from bayesian_inference_trpl_tpu.parallel import runner as runner_mod
 
     obs_times = np.linspace(0.0, TIME, 11)
     obs2, exc2 = _write_synthetic(tmp_path, obs_times=obs_times, num_curves=2)
@@ -232,18 +232,18 @@ def test_checkpoint_resume_interp(tmp_path, monkeypatch):
     cfg.paths.out_dirs = [str(tmp_path / "ICKPT")]
     cfg.checkpoint = True
     calls = {"n": 0}
-    orig = drv.pvsim
+    orig = runner_mod._chunk_dispatch_interp
 
-    def interrupting(*a, **k):
+    def interrupting(statics, *args):
         calls["n"] += 1
         if calls["n"] == 2:    # second chunk of curve 0
             raise KeyboardInterrupt("simulated preemption mid-interp")
-        return orig(*a, **k)
+        return orig(statics, *args)
 
-    monkeypatch.setattr(drv, "pvsim", interrupting)
+    monkeypatch.setattr(runner_mod, "_chunk_dispatch_interp", interrupting)
     with pytest.raises(KeyboardInterrupt):
         bayes(cfg)
-    monkeypatch.setattr(drv, "pvsim", orig)
+    monkeypatch.setattr(runner_mod, "_chunk_dispatch_interp", orig)
 
     cfg.resume = True
     P_res, X_res, _ = bayes(cfg)

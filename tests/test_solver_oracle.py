@@ -101,3 +101,60 @@ def test_convergence_under_dt_refinement():
         pl = np.asarray(res.pl)[0]
         errs.append(np.linalg.norm(pl - plo) / np.linalg.norm(plo))
     assert errs[1] < errs[0]
+
+
+def test_oracle_hmax_heuristic_and_negative_density_retry(monkeypatch):
+    """r5 oracle hardening (reference: pvSim_fallback.py:94-98 hmax
+    heuristic, Testing/PV_tester2.py:104-118 retry loop): fast-decaying
+    samples pick the small initial hmax, and a result with negative
+    densities triggers halved-hmax re-integration instead of returning
+    unphysical state."""
+    from bayesian_inference_trpl_tpu.models import oracle as om
+
+    # Short-tau corner: tau_eff far below time/100 -> hmax 0.025.
+    mat = np.array([1e8, 1e15, 5.0, 5.0, 1e-10, 1e4, 1e4, 1e-29, 1e-29,
+                    1.0, 1.0, 0.1]) * physics.UNIT_CONVERSIONS[:12]
+    seen = []
+    orig = om.solve_ivp
+
+    def spy(*a, **kw):
+        seen.append(kw["max_step"])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(om, "solve_ivp", spy)
+    L = 16
+    init_dn = np.full(L, 1e18 / 1e7 ** 3)
+    om.solve_oracle(mat, 311.0, 100.0, L, 11, init_dn, rtol=1e-6, atol=1e-10)
+    assert seen[0] == 0.025
+
+    # Slow sample -> hmax 1.0 (the old default, unchanged trajectories).
+    seen.clear()
+    mat_slow = np.array([1e8, 1e14, 20.0, 20.0, 1e-11, 1.0, 1.0, 1e-30,
+                         1e-30, 500.0, 500.0, 0.1]) * physics.UNIT_CONVERSIONS[:12]
+    om.solve_oracle(mat_slow, 311.0, 10.0, L, 11, init_dn, rtol=1e-6,
+                    atol=1e-10)
+    assert seen[0] == 1.0
+
+    # Force one negative-density result: the retry must halve hmax.
+    seen.clear()
+    calls = {"n": 0}
+
+    class FakeSol:
+        success = True
+        message = "ok"
+
+        def __init__(self, y, t):
+            self.y = y
+            self.t = t
+
+    def fake_ivp(fun, span, y0, t_eval=None, **kw):
+        seen.append(kw["max_step"])
+        calls["n"] += 1
+        y = np.abs(np.tile(y0[:, None], (1, len(t_eval)))) + 1.0
+        if calls["n"] == 1:
+            y[0] = -1.0           # negative density on the first attempt
+        return FakeSol(y, t_eval)
+
+    monkeypatch.setattr(om, "solve_ivp", fake_ivp)
+    om.solve_oracle(mat_slow, 311.0, 10.0, L, 11, init_dn)
+    assert len(seen) == 2 and seen[1] == seen[0] / 2

@@ -119,8 +119,8 @@ def test_twothick_posterior_peak_and_single_compile(twothick):
 
     tmp_path, obs, exc = twothick
     cfg = _cfg(tmp_path, obs, exc, thickness=list(THICKS), n_points=16)
-    # Compiled-program count = jit cache + the executable-cache memo
-    # (whichever layer dispatched; utils/aot_cache.py).
+    # Compiled-program count = jit cache + the program-cache memo
+    # (whichever layer dispatched; utils/program_cache.py).
     def _programs():
         return (runner_mod._chunk_likelihood._cache_size()
                 + len(runner_mod._chunk_dispatch._memo))
