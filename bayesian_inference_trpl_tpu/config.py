@@ -52,6 +52,15 @@ class GridConfig:
     # Pad all fused curves to one shared horizon (masked) so multi-curve
     # runs compile ONE chunk program instead of one per horizon.
     bucket_horizons: bool = True
+    # Adaptive schedule routing (r5): samples with tau_n below this many
+    # ns — the bucket carrying the deep-window ladder discretization
+    # error (docs/PRECISION.md band table) — run a finer ladder
+    # (adaptive_fine_steps / stride capped at adaptive_max_stride) while
+    # the bulk keeps the fast one.  None = off.  At 50 ns the bucket is
+    # ~5% of the production box, so the throughput cost is ~2.6%.
+    adaptive_fine_tau: Optional[float] = None
+    adaptive_fine_steps: int = 512
+    adaptive_max_stride: int = 32
     # Score off-grid (e.g. log-spaced) observation times inside the scan
     # via dense-output slot tables (models/offgrid.py) instead of the
     # materialize-PL-and-interpolate fallback (runner.run_curve_interp).

@@ -403,15 +403,22 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
             approx_inv: bool, t_real: int, chord: bool = False,
             stride: int = 1, ext_pl0: bool = False,
             settle_guard: float = 0.0, skip_tighten: float = 1.0,
-            stall: float = 0.5):
+            stall: float = 0.5, offgrid_k: int = 0):
     from ...models.trpl import MatParams
 
     # Optional inputs (static layout): dense-output weight table + optional
     # per-fine-point mask table (coarse phases) and an external
-    # normalization anchor.
+    # normalization anchor.  OFF-GRID mode (offgrid_k = K > 0; r5):
+    # obs_ref/msk_ref are reinterpreted as the slot-table values
+    # (num_exp, tb, K) and the per-step LIVENESS row, and wtab_ref holds
+    # the per-slot Lagrange weights (num_exp, tb, 4K, [a*K+k] layout)
+    # instead of the static (3, S, 4) uniform-offset table
+    # (models/offgrid.build_offgrid_tables).
+    offgrid = offgrid_k > 0
     in_rest = list(in_rest)
-    wtab_ref = in_rest.pop(0) if stride > 1 else None
-    vmask_ref = in_rest.pop(0) if (stride > 1 and has_mask) else None
+    wtab_ref = in_rest.pop(0) if (stride > 1 or offgrid) else None
+    vmask_ref = in_rest.pop(0) if ((stride > 1 and has_mask) or offgrid) \
+        else None
     pl0_ref = in_rest.pop(0) if ext_pl0 else None
     bdf_ref, sc_ref = in_rest[0], in_rest[1]
     rest = in_rest[2:]
@@ -428,9 +435,9 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
          e_out) = rest[:n_outs]
     (nh, ph, eh, snap_n, snap_p, snap_e, pl0_s, sse_s, esum_s, conv_s,
      its_s, maxit_s, *extra_scratch) = rest[n_outs:]
-    # Coarse phases (stride > 1) prepend the dense-output window scratch
-    # (lpw) to the chord scratch.
-    if stride > 1:
+    # Coarse phases (stride > 1) and off-grid phases prepend the
+    # dense-output window scratch (lpw) to the chord scratch.
+    if stride > 1 or offgrid:
         lpw, extra_scratch = extra_scratch[0], extra_scratch[1:]
     chord_scratch = extra_scratch
 
@@ -442,7 +449,7 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
     log_scale = sc_ref[0, 2]
     min_val = sc_ref[0, 3]
 
-    if stride > 1:
+    if stride > 1 and not offgrid:
         # Cubic/quadratic/linear dense-output weight rows, streamed in as a
         # (3, S, 4) VMEM table (models/twophase._lagrange_weight_table —
         # Pallas kernels cannot capture dense constants): W[r] is (S, 4);
@@ -490,7 +497,7 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
         conv_s[:] = jnp.ones_like(conv_s)
         its_s[:] = jnp.zeros_like(its_s)
         maxit_s[:] = jnp.zeros_like(maxit_s)
-        if stride > 1:
+        if stride > 1 or offgrid:
             # Dense-output window over the trailing 4 coarse log-PL nodes
             # (models/twophase._coarse_phase lp_win0): slots 0..2 start at
             # zero (their weights are zero while r < 2), slot 3 holds the
@@ -583,7 +590,34 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
         lp = _log_pl_col(pl_t)
         ok_col = done[:, :1]
         w_any = None
-        if stride == 1:
+        if offgrid:
+            # Off-grid slot scoring (models/offgrid._phase_offgrid): roll
+            # the 4-node log-PL window, evaluate the K observation slots
+            # of this step from the streamed per-slot Lagrange weights
+            # (ramp row min(c,2) baked in host-side), accumulate
+            # weight-linearly.  Unobserved steps carry weight 0 slots.
+            K = offgrid_k
+            lpw[0] = lpw[1]
+            lpw[1] = lpw[2]
+            lpw[2] = lpw[3]
+            lpw[3] = lp
+            for e_i in range(num_exp):
+                wk = wtab_ref[e_i, c]                       # (4K,)
+                lp_at = (lpw[0] * wk[0 * K:1 * K][None, :]
+                         + lpw[1] * wk[1 * K:2 * K][None, :]
+                         + lpw[2] * wk[2 * K:3 * K][None, :]
+                         + lpw[3] * wk[3 * K:4 * K][None, :])  # (tile, K)
+                err = lp_at - obs_ref[e_i, c][None, :]
+                wg = vmask_ref[e_i, c][None, :]
+                sse_s[e_i] = sse_s[e_i] + wg * err * err
+                esum_s[e_i] = esum_s[e_i] + wg * err
+            # Liveness gate (offgrid conv semantics): interior unobserved
+            # steps still gate conv — their trajectory feeds later
+            # observation points; only the padded tail past the LAST real
+            # observation is forgiven (msk_ref row 0 = liveness flags).
+            live = msk_ref[0, c]
+            ok_col = jnp.where(live > 0.0, ok_col, jnp.ones_like(ok_col))
+        elif stride == 1:
             for e_i in range(num_exp):
                 o = obs_ref[e_i, c]
                 err = lp - o
@@ -644,7 +678,7 @@ def _kernel(mat_ref, n0_ref, p0_ref, e0_ref, obs_ref, msk_ref, *in_rest,
     # ---- Last time block: publish results.
     @pl.when(t_blk == n_blocks - 1)
     def _publish():
-        if stride > 1:
+        if stride > 1 or offgrid:
             sse_out[:] = jnp.sum(sse_s[:], axis=-1)
             esum_out[:] = jnp.sum(esum_s[:], axis=-1)
         else:
@@ -675,14 +709,15 @@ from jax.experimental.pallas import tpu as pltpu       # noqa: E402
     jax.jit, static_argnames=("max_iters", "tb", "normalize", "has_mask",
                               "pred_order", "tile", "approx_inv",
                               "chord", "t_real", "interpret", "stride",
-                              "settle_guard", "skip_tighten", "stall"))
+                              "settle_guard", "skip_tighten", "stall",
+                              "offgrid_k"))
 def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
-          scalars, *,
+          scalars, wt_sc=None, *,
           max_iters: int, tb: int, normalize: bool, has_mask: bool,
           pred_order: int, tile: int, approx_inv: bool, chord: bool,
           t_real: int, interpret: bool, stride: int,
           settle_guard: float = 0.0, skip_tighten: float = 1.0,
-          stall: float = 0.5):
+          stall: float = 0.5, offgrid_k: int = 0):
     batch, L = n0.shape
     num_exp = obs_sc.shape[0]
     n_tiles = batch // tile
@@ -691,6 +726,7 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
     grid = (n_tiles, n_blocks)
     dtype = n0.dtype
     ext_pl0 = pl0_in is not None
+    offgrid = offgrid_k > 0
 
     zero = np.int32(0)
     tile_row = lambda i, t: (i, zero)                  # noqa: E731
@@ -702,9 +738,15 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
     # Coarse phases stream the per-fine-point observation/mask tables as
     # (num_exp, tb, S) VMEM blocks (lane dim = the S fine offsets); the
     # SMEM msk table then carries the per-STEP weights for conv freezing.
-    obs3_spec = pl.BlockSpec((num_exp, tb, stride),
+    # Off-grid phases stream (num_exp, tb, K) slot value/weight tables
+    # plus a (num_exp, tb, 4K) per-slot Lagrange-weight table instead.
+    slot_dim = offgrid_k if offgrid else stride
+    obs3_spec = pl.BlockSpec((num_exp, tb, slot_dim),
                              lambda i, t: (zero, t, zero),
                              memory_space=pltpu.VMEM)
+    wt_spec = pl.BlockSpec((num_exp, tb, 4 * offgrid_k),
+                           lambda i, t: (zero, t, zero),
+                           memory_space=pltpu.VMEM)
     bdf_spec = pl.BlockSpec((5, 6), lambda i, t: (zero, zero),
                             memory_space=pltpu.SMEM)
     sc_spec = pl.BlockSpec((1, 4), lambda i, t: (zero, zero),
@@ -739,15 +781,17 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         pltpu.VMEM((tile, L), dtype),       # snapshot P
         pltpu.VMEM((tile, L), dtype),       # snapshot E
         pltpu.VMEM((tile, 1), dtype),       # pl0
-        (pltpu.VMEM((num_exp, tile), dtype) if stride == 1
-         else pltpu.VMEM((num_exp, tile, stride), dtype)),   # sse
-        (pltpu.VMEM((num_exp, tile), dtype) if stride == 1
-         else pltpu.VMEM((num_exp, tile, stride), dtype)),   # err_sum
+        (pltpu.VMEM((num_exp, tile, slot_dim), dtype)
+         if (stride > 1 or offgrid)
+         else pltpu.VMEM((num_exp, tile), dtype)),           # sse
+        (pltpu.VMEM((num_exp, tile, slot_dim), dtype)
+         if (stride > 1 or offgrid)
+         else pltpu.VMEM((num_exp, tile), dtype)),           # err_sum
         pltpu.VMEM((tile, 1), dtype),       # conv (1.0 = converged)
         pltpu.VMEM((tile, 1), dtype),       # iteration counts
         pltpu.VMEM((tile, 1), dtype),       # max per-step iterations
     ]
-    if stride > 1:
+    if stride > 1 or offgrid:
         scratch.append(pltpu.VMEM((4, tile, 1), dtype))      # lp window
     if chord:
         ns = max(L.bit_length() - 2, 0)     # PCR sweeps (L=128 -> 6)
@@ -767,19 +811,23 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
         pred_order=pred_order, approx_inv=approx_inv, t_real=t_real,
         chord=chord, stride=stride, ext_pl0=ext_pl0,
         settle_guard=settle_guard, skip_tighten=skip_tighten,
-        stall=stall)
+        stall=stall, offgrid_k=offgrid_k)
     in_specs = [mat_spec, field_spec, field_spec, field_spec,
-                obs3_spec if stride > 1 else obs_spec, obs_spec]
+                obs3_spec if (stride > 1 or offgrid) else obs_spec,
+                obs_spec]
     args = [mat_t, n0, p0, e0, obs_sc, msk_sc]
-    if stride > 1:
+    if offgrid:
+        in_specs += [wt_spec, obs3_spec]      # Lagrange table + weights
+        args += [wt_sc, vmask_sc]
+    elif stride > 1:
         from ...models.twophase import _lagrange_weight_table
         in_specs.append(pl.BlockSpec((3, stride, 4),
                                      lambda i, t: (zero, zero, zero),
                                      memory_space=pltpu.VMEM))
         args.append(jnp.asarray(_lagrange_weight_table(stride), dtype))
-    if stride > 1 and has_mask:
-        in_specs.append(obs3_spec)
-        args.append(vmask_sc)
+        if has_mask:
+            in_specs.append(obs3_spec)
+            args.append(vmask_sc)
     if ext_pl0:
         in_specs.append(col_spec)
         args.append(pl0_in)
@@ -1080,6 +1128,124 @@ def solve_coarse_phase_fused(mat_nd, n_init, p_init, e_init, cfg, obs, pl0,
         t_real=int(C), interpret=bool(interpret), stride=int(S),
         settle_guard=settle_guard, skip_tighten=skip_tighten,
         stall=stall)
+    sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
+    fulls = outs[8][:, 0] if chord else None
+    execs = outs[9][:, 0] if chord else None
+    return SolveResult(
+        pl=None, n=n_f[:batch], p=p_f[:batch], e=e_f[:batch],
+        converged=conv[:batch, 0].astype(bool),
+        max_newton_iters=jnp.max(maxit[:batch, 0]),
+        sse=sse[:, :batch], err_sum=esum[:, :batch],
+        sample_iters=its[:batch, 0],
+        full_solves=None if fulls is None else fulls[:batch],
+        tile_body_iters=None if execs is None else execs[:batch])
+
+
+def solve_phase_offgrid_fused(mat_nd, n_init, p_init, e_init, cfg, obs_meta,
+                              tbl, pl0, S: int, live,
+                              tb: int = None, tile: int = None,
+                              approx_inv: bool = None, chord: bool = False,
+                              interpret: bool = False):
+    """One OFF-GRID phase in a single Pallas launch; drop-in for
+    ``models.offgrid._phase_offgrid`` (same dt rescaling, BDF order-ramp
+    restart, per-slot Lagrange dense output, weight-linear accumulation,
+    and liveness-gated convergence — see that function for the semantics
+    this kernel mirrors; r5, closing the off-grid fast-path gap VERDICT
+    r4 named: coarse phases previously ran per-step XLA/Pallas launches).
+
+    Args:
+      mat_nd: (batch, 12) FINE-dt nondimensionalized parameters.
+      obs_meta: FusedObs carrying only scalars (log_scale, min_val,
+        normalize) — values live in the slot tables.
+      tbl: (W (C, E, K, 4), V (C, E, K), M (C, E, K)) phase slot tables
+        (models/offgrid.build_offgrid_tables; M carries the per-point
+        weights, sigma-weighted or 0/1).
+      pl0: (batch,) run-t=0 fine-dt PL (self-normalization anchor).
+      S: this phase's stride (1 for the fine phase).
+      live: (C,) liveness flags — steps at or before the last real
+        observation gate convergence; the padded tail is forgiven.
+
+    Returns a SolveResult for THIS phase only; the caller merges with the
+    carried accumulators exactly as for ``solve_coarse_phase_fused``.
+    """
+    from ...models.solver import SolveResult
+    from ...models.trpl import BDF_TABLE
+    from ...models.twophase import rescale_dt
+
+    W_all, V_all, M_all = tbl
+    C, num_exp, K = np.asarray(V_all.shape)
+    C, num_exp, K = int(C), int(num_exp), int(K)
+    dtype = n_init.dtype
+    batch, L = n_init.shape
+    if tb is None:
+        tb = _coarse_time_block(C)
+    if tb % 24:
+        raise ValueError(f"time block {tb} must be divisible by 24")
+    Cp = -(-C // tb) * tb
+
+    if tile is None:
+        tile = min(int(_TILE_ENV) if _TILE_ENV
+                   else (_chord_tile(cfg) if chord else SAMPLE_TILE),
+                   -(-batch // 8) * 8)
+    padded = -(-batch // tile) * tile
+
+    # Slot tables -> kernel layout: values/weights (E, Cp, K); Lagrange
+    # weights (E, Cp, 4K) with [a*K + k] lane layout (static in-kernel
+    # slices).  Zero padding past C contributes nothing.
+    V = _pad_axis(jnp.transpose(jnp.asarray(V_all, dtype), (1, 0, 2)),
+                  Cp, axis=1, edge=False)
+    Mw = _pad_axis(jnp.transpose(jnp.asarray(M_all, dtype), (1, 0, 2)),
+                   Cp, axis=1, edge=False)
+    Wt = jnp.transpose(jnp.asarray(W_all, dtype), (1, 0, 3, 2))  # (E,C,4,K)
+    Wt = _pad_axis(Wt.reshape(num_exp, C, 4 * K), Cp, axis=1, edge=False)
+    # Liveness row (read as msk_ref[0, c]); zero-padded tail is forgiven.
+    live_sc = _pad_axis(
+        jnp.broadcast_to(jnp.asarray(live, dtype)[None, :], (num_exp, C)),
+        Cp, axis=1, edge=False)
+
+    mat_c = rescale_dt(jnp.asarray(mat_nd, dtype), S) if S != 1 \
+        else jnp.asarray(mat_nd, dtype)
+    bdf_tab = jnp.asarray(BDF_TABLE, dtype)
+    step_tol = 0.0 if cfg.step_tol is None else float(cfg.step_tol)
+    if obs_meta.normalize:
+        log_scale = jnp.zeros((), dtype)
+    else:
+        log_scale = (jnp.asarray(obs_meta.log_scale, dtype).reshape(())
+                     - jnp.asarray(np.log10(S), dtype))
+    scalars = jnp.stack([jnp.asarray(cfg.tol, dtype),
+                         jnp.asarray(step_tol, dtype),
+                         log_scale,
+                         jnp.asarray(obs_meta.min_val, dtype)]).reshape(1, 4)
+
+    mat_t = jnp.transpose(mat_c)                           # (12, batch)
+    n0 = n_init.astype(dtype)
+    p0 = p_init.astype(dtype)
+    e0 = e_init.astype(dtype)
+    pl0_in = None
+    if obs_meta.normalize:
+        pl0_in = (jnp.asarray(pl0, dtype) * S).reshape(batch, 1)
+    if padded != batch:
+        mat_t = _pad_axis(mat_t, padded, axis=1)
+        n0 = _pad_axis(n0, padded)
+        p0 = _pad_axis(p0, padded)
+        e0 = _pad_axis(e0, padded)
+        if pl0_in is not None:
+            pl0_in = _pad_axis(pl0_in, padded)
+
+    if approx_inv is None:
+        approx_inv = not interpret
+    settle_guard, skip_tighten, stall = _chord_knobs(cfg)
+    outs = _call(
+        mat_t, n0, p0, e0, V, live_sc, Mw, pl0_in, bdf_tab, scalars, Wt,
+        max_iters=int(cfg.max_iters), tb=int(tb),
+        normalize=bool(obs_meta.normalize), has_mask=False,
+        pred_order={"previous": 0, "linear": 1, "quadratic": 2,
+                    "geometric": 3}[cfg.predictor],
+        tile=int(tile),
+        approx_inv=bool(approx_inv), chord=bool(chord),
+        t_real=int(C), interpret=bool(interpret), stride=1,
+        settle_guard=settle_guard, skip_tighten=skip_tighten,
+        stall=stall, offgrid_k=int(K))
     sse, esum, conv, its, maxit, n_f, p_f, e_f = outs[:8]
     fulls = outs[8][:, 0] if chord else None
     execs = outs[9][:, 0] if chord else None

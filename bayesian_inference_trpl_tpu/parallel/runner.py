@@ -176,11 +176,19 @@ class ShardedRunner:
         from .distributed import make_global_array
         return make_global_array(arr, replicated(self.mesh), dtype)
 
-    def _make_harvest(self, n, out, conv, chunk_done):
+    def _make_harvest(self, n, out, conv, chunk_done, idx=None,
+                      chunk_index_offset=0):
         """Harvest closure shared by the on-grid and off-grid paths: block
         on a dispatched chunk and fold it into the output.  The device sync
         (a cross-host allgather when multi-process) counts as solver time;
-        host-side accumulation and checkpoint writes count as misc."""
+        host-side accumulation and checkpoint writes count as misc.
+
+        ``idx``: optional global sample indices for subset routing (the
+        adaptive tau ladder, GridConfig.adaptive_fine_tau) — chunk columns
+        scatter to ``out[:, idx[...]]``; ``conv`` stays subset-local.
+        ``chunk_index_offset`` shifts the chunk index reported to
+        ``chunk_done`` so a curve's bulk and fine passes share one
+        checkpoint chunk sequence."""
         def harvest(ci, ll, ok):
             lo = ci * self.chunk
             size = min(lo + self.chunk, n) - lo
@@ -190,15 +198,18 @@ class ShardedRunner:
             ok = allgather_to_host(ok)
             self.timers.solver_time += time.perf_counter() - t0
             t0 = time.perf_counter()
-            out[:, lo:lo + size] += ll[:, :size]
+            if idx is None:
+                out[:, lo:lo + size] += ll[:, :size]
+            else:
+                out[:, idx[lo:lo + size]] += ll[:, :size]
             conv[lo:lo + size] = ok[:size]
             if chunk_done is not None:
-                chunk_done(ci, ll[:, :size])
+                chunk_done(ci + chunk_index_offset, ll[:, :size])
             self.timers.misc_time += time.perf_counter() - t0
         return harvest
 
     def _retry_nonconverged(self, dispatch, mat_nd_all, mag_all, dtype,
-                            out, conv, P_before):
+                            out, conv, P_before, sample_idx=None):
         """Re-dispatch the non-converged samples of a finished curve in
         failure-only batches and repair their likelihoods.
 
@@ -242,7 +253,10 @@ class ShardedRunner:
                 ok = allgather_to_host(ok)[:sel.size]
                 ok = np.asarray(ok)
                 rec = sel[ok]
-                out[:, rec] = P_before[:, rec] + np.asarray(ll)[:, ok]
+                # Subset routing: conv/mat are subset-local, the
+                # accumulator columns are global.
+                out_rec = rec if sample_idx is None else sample_idx[rec]
+                out[:, out_rec] = P_before[:, out_rec] + np.asarray(ll)[:, ok]
                 conv[rec] = True
             self.timers.solver_time += time.perf_counter() - t0
             logger.info("Retry %d: %d of %d non-converged samples recovered "
@@ -255,7 +269,8 @@ class ShardedRunner:
                   chunk_done: Optional[Callable[[int, np.ndarray], None]] = None,
                   start_chunk: int = 0, out: Optional[np.ndarray] = None,
                   obs_mask=None, P_start: Optional[np.ndarray] = None,
-                  retry_done: Optional[Callable[[], None]] = None):
+                  retry_done: Optional[Callable[[], None]] = None,
+                  sample_idx=None, chunk_index_offset: int = 0):
         """Evaluate log-likelihood of every sample in X for one excitation
         curve against observations on the simulation PL time grid.
 
@@ -282,10 +297,13 @@ class ShardedRunner:
         """
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        n = len(X)
+        n_total = len(X)
+        X_sub = X if sample_idx is None else np.asarray(X)[sample_idx]
+        n = len(X_sub)
         num_exp = len(obs_log_values)
-        mat_nd_all = physics.nondimensionalize(np.asarray(X)[:, :12], sim.dx, sim.dt)
-        mag_all = np.asarray(X)[:, 12]
+        mat_nd_all = physics.nondimensionalize(np.asarray(X_sub)[:, :12],
+                                               sim.dx, sim.dt)
+        mag_all = np.asarray(X_sub)[:, 12]
         dn = initial_excess_density(sim, ini_par, "points", dtype=dtype)
         dn = self._replicate(dn, dtype)
         obs_rep = self._replicate(obs_log_values, dtype)
@@ -296,8 +314,11 @@ class ShardedRunner:
                     else self._replicate(obs_mask, dtype))
 
         out, P_before, conv = self._init_accumulators(
-            out, num_exp, n, start_chunk, P_start)
-        harvest = self._make_harvest(n, out, conv, chunk_done)
+            out, num_exp, n, start_chunk, P_start,
+            sample_idx=sample_idx, n_total=n_total)
+        harvest = self._make_harvest(n, out, conv, chunk_done,
+                                     idx=sample_idx,
+                                     chunk_index_offset=chunk_index_offset)
 
         # Double-buffered dispatch: chunk ci+1's host prep and shard
         # placement overlap chunk ci's device execution (jax dispatch is
@@ -314,9 +335,14 @@ class ShardedRunner:
                          progress, start_chunk)
         if self.retries and not conv.all():
             self._retry_nonconverged(dispatch, mat_nd_all, mag_all, dtype,
-                                     out, conv, P_before)
+                                     out, conv, P_before,
+                                     sample_idx=sample_idx)
             if retry_done is not None:
                 retry_done()
+        if sample_idx is not None:
+            conv_g = np.ones(n_total, dtype=bool)
+            conv_g[sample_idx] = conv
+            conv = conv_g
         return out, conv
 
     def run_curve_interp(self, X, sim: SimParams, ini_par, obs_times,
@@ -388,7 +414,8 @@ class ShardedRunner:
                 retry_done()
         return out, conv
 
-    def _init_accumulators(self, out, num_exp, n, start_chunk, P_start):
+    def _init_accumulators(self, out, num_exp, n, start_chunk, P_start,
+                           sample_idx=None, n_total=None):
         """Accumulator + retry baseline + convergence flags, resume-aware.
 
         Fresh curve (start_chunk == 0): the retry baseline is a copy of
@@ -398,9 +425,13 @@ class ShardedRunner:
         sum is NaN but whose curve-start value was finite FAILED in this
         curve — they are marked non-converged so the post-loop retry pass
         re-dispatches them (samples already NaN at curve start died in an
-        earlier curve; retrying them here cannot repair anything)."""
+        earlier curve; retrying them here cannot repair anything).
+
+        With subset routing (``sample_idx``), ``n`` is the subset size,
+        ``conv`` is subset-local, and the accumulator spans ``n_total``
+        global columns."""
         if out is None:
-            out = np.zeros((num_exp, n))
+            out = np.zeros((num_exp, n if n_total is None else n_total))
         if P_start is None or start_chunk == 0:
             P_before = out.copy() if self.retries else None
         else:
@@ -408,13 +439,15 @@ class ShardedRunner:
         conv = np.ones(n, dtype=bool)
         if start_chunk > 0 and P_before is not None:
             done = min(start_chunk * self.chunk, n)
+            cols = (slice(None, done) if sample_idx is None
+                    else sample_idx[:done])
             # Any-NaN across experiment rows: _chunk_likelihood broadcasts
             # NaN over all rows for non-converged samples, but a
             # data-induced NaN in a single row (bad mag/obs value) must be
             # retried too, so the check cannot lean on that invariant
             # (ADVICE r4).
-            failed = (np.isnan(out[:, :done]).any(axis=0)
-                      & ~np.isnan(P_before[:, :done]).any(axis=0))
+            failed = (np.isnan(out[:, cols]).any(axis=0)
+                      & ~np.isnan(P_before[:, cols]).any(axis=0))
             conv[:done] = ~failed
         return out, P_before, conv
 

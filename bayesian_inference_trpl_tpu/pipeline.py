@@ -165,6 +165,42 @@ def plan_offgrid(cfg: InferenceConfig, sim: SimParams, e_data, ic_num: int):
     return sim_c, schedule, tables
 
 
+def _adaptive_split(cfg: InferenceConfig, sim_c: SimParams, X):
+    """Adaptive tau routing (GridConfig.adaptive_fine_tau): split sample
+    indices into (bulk, fine-bucket) and build the fine bucket's
+    SimParams (finer fine phase, tighter stride cap).  Returns None when
+    routing is off, the curve is not on the multi-phase fast path, or no
+    sample falls in the bucket.
+
+    Rationale (docs/PRECISION.md "The raw-rms tail, attributed"): the
+    deep-window ladder discretization error concentrates in the
+    tau_n-bottom samples (coarse strides vs a ~25 ns decay); routing that
+    ~5% of the production box through a 512/16/32 ladder cuts their
+    deep-window rms below the 5e-4 hard bound at ~2.6% total cost.  The
+    threshold is a pure function of X and the config, so checkpoint
+    resume replays the identical split."""
+    tau = cfg.grid.adaptive_fine_tau
+    if not tau or sim_c.fast_phases is None:
+        return None
+    fine_sel = np.asarray(X)[:, 9] < float(tau)        # tau_n [ns]
+    if not fine_sel.any():
+        return None
+    fine_idx = np.where(fine_sel)[0]
+    bulk_idx = np.where(~fine_sel)[0]
+    g = cfg.grid
+    sim_f = SimParams(
+        length=sim_c.length, time=sim_c.time, L=sim_c.L, T=sim_c.T,
+        pl_stride=1, tol_exp=sim_c.tol_exp, max_iters=sim_c.max_iters,
+        method=sim_c.method, predictor=sim_c.predictor,
+        step_tol=sim_c.step_tol,
+        fast_fine_steps=min(int(g.adaptive_fine_steps), sim_c.T // 2),
+        fast_coarse_stride=sim_c.fast_coarse_stride,
+        fast_max_stride=min(int(g.adaptive_max_stride),
+                            sim_c.fast_max_stride),
+        fast_steps_per_phase=sim_c.fast_steps_per_phase)
+    return bulk_idx, fine_idx, sim_f
+
+
 def sim_params_for_curve(cfg: InferenceConfig, ic_num: int, num_curves: int) -> SimParams:
     g = cfg.grid
     return SimParams(length=g.thickness_for_curve(ic_num, num_curves),
@@ -296,14 +332,53 @@ def simulate(cfg: InferenceConfig, e_data, init_params, X, P,
                     "Observation times on simulation grid: fused likelihood "
                     "(horizon %d steps%s)", sim_c.T,
                     ", masked" if obs_mask is not None else "")
-            _, conv = runner.run_curve(
-                X, sim_c, init_params[ic_num], obs_vals,
-                normalize=cfg.sim_flags.self_normalize, dtype=dtype,
-                progress=(lambda ci, nc: logger.info(
-                    "Curve #%d: chunk %d of %d", ic_num, ci, nc)) if logger else None,
-                chunk_done=_ckpt_chunk, start_chunk=first_chunk, out=P,
-                obs_mask=obs_mask, P_start=curve_P_start,
-                retry_done=_ckpt_retry)
+            routing = _adaptive_split(cfg, sim_c, X)
+            common = dict(normalize=cfg.sim_flags.self_normalize,
+                          dtype=dtype, chunk_done=_ckpt_chunk, out=P,
+                          obs_mask=obs_mask, P_start=curve_P_start,
+                          retry_done=_ckpt_retry)
+            prog = ((lambda ci, nc: logger.info(
+                "Curve #%d: chunk %d of %d", ic_num, ci, nc))
+                if logger else None)
+            if routing is None:
+                _, conv = runner.run_curve(
+                    X, sim_c, init_params[ic_num], obs_vals,
+                    progress=prog, start_chunk=first_chunk, **common)
+            else:
+                # Adaptive tau routing (GridConfig.adaptive_fine_tau): the
+                # short-tau_n bucket runs a finer ladder; the two passes
+                # share one checkpoint chunk sequence (bulk chunks first).
+                bulk_idx, fine_idx, sim_f = routing
+                if logger:
+                    logger.info(
+                        "Adaptive ladder: %d of %d samples in the "
+                        "tau_n < %g ns fine bucket", len(fine_idx), len(X),
+                        cfg.grid.adaptive_fine_tau)
+                nb_chunks = -(-len(bulk_idx) // runner.chunk)
+                nf_chunks = -(-len(fine_idx) // runner.chunk)
+                conv = np.ones(len(X), dtype=bool)
+                # Each pass's retry re-checkpoints at ITS last chunk of
+                # the shared sequence — the total-chunk index the plain
+                # path uses would overstate progress mid-sequence.
+                if len(bulk_idx) and first_chunk < nb_chunks:
+                    _, cb = runner.run_curve(
+                        X, sim_c, init_params[ic_num], obs_vals,
+                        progress=prog, start_chunk=first_chunk,
+                        sample_idx=bulk_idx,
+                        **dict(common,
+                               retry_done=lambda: _ckpt_chunk(
+                                   nb_chunks - 1, None)))
+                    conv &= cb
+                if len(fine_idx):
+                    _, cf = runner.run_curve(
+                        X, sim_f, init_params[ic_num], obs_vals,
+                        progress=prog,
+                        start_chunk=max(0, first_chunk - nb_chunks),
+                        sample_idx=fine_idx, chunk_index_offset=nb_chunks,
+                        **dict(common,
+                               retry_done=lambda: _ckpt_chunk(
+                                   nb_chunks + nf_chunks - 1, None)))
+                    conv &= cf
         else:
             og = (plan_offgrid(cfg, sim, e_data, ic_num)
                   if cfg.grid.offgrid_fused else None)

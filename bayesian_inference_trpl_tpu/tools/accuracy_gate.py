@@ -28,6 +28,7 @@ import argparse
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -138,7 +139,7 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=256, base_stride=16,
              max_stride=64, steps_per_phase=512,
              tol_exp_fast=4.0, seed=0, verbose=True, t_exact=None,
              profile="synthetic", method=None, predictor="quadratic",
-             meas_decades=10.0):
+             meas_decades=10.0, adaptive_fine_tau=None):
     """Score the shipped fast f32 path against precomputed exact curves
     ``lp64`` (from :func:`exact_curves`, same batch/T/seed).
 
@@ -220,28 +221,51 @@ def run_gate(lp64, batch=64, T=80000, fine_steps=256, base_stride=16,
                      log_scale=jnp.asarray(log_scale, dtype), min_val=1e-30,
                      mask=jnp.asarray(win_m, dtype))
 
-    @jax.jit
-    def run_fast(mat_nd, dn, o):
+    @partial(jax.jit, static_argnames=("sched",))
+    def run_fast(mat_nd, dn, o, sched):
         n0 = mat_nd[:, 0:1] + dn
         p0 = mat_nd[:, 1:2] + dn
         r = solve_multiphase(mat_nd, n0, p0, jnp.zeros_like(n0), cfg32, o,
-                             schedule)
+                             sched)
         return r.sse, r.converged
-    sse, conv = run_fast(mat32, dn32, obs)           # full horizon (strict
-    #                                                  conv + raw rms)
+
+    def _rms_set(sched):
+        sse, conv = run_fast(mat32, dn32, obs, sched)   # full horizon
+        sse_w, _ = run_fast(mat32, dn32, obs_w, sched)  # deep window
+        sse_m, _ = run_fast(mat32, dn32, obs_m, sched)  # measurable depth
+        sse_d = np.diagonal(np.asarray(sse))
+        return (np.sqrt(sse_d / (T + 1)),
+                np.sqrt(np.diagonal(np.asarray(sse_w)) / win.sum(axis=1)),
+                np.sqrt(np.diagonal(np.asarray(sse_m)) / win_m.sum(axis=1)),
+                np.asarray(conv))
+
+    rms_full, rms_w, rms_m, conv = _rms_set(schedule)
     t_fast = time.perf_counter() - t0
-    sse_w, _ = run_fast(mat32, dn32, obs_w)          # deep window
-    sse_m, _ = run_fast(mat32, dn32, obs_m)          # measurable depth
-    sse_d = np.diagonal(np.asarray(sse))          # sample i vs its own curve
-    rms_full = np.sqrt(sse_d / (T + 1))
+    n_fine_bucket = 0
+    if adaptive_fine_tau:
+        # Production adaptive routing (GridConfig.adaptive_fine_tau): the
+        # short-tau_n bucket — where the deep-window ladder error
+        # concentrates (docs/PRECISION.md band table) — runs the finer
+        # 512/16/32 ladder; rms rows for those samples come from it.
+        sched_fine = geometric_schedule(
+            T, min(512, T // 2), base_stride=base_stride,
+            coarse_steps_per_phase=steps_per_phase,
+            max_stride=min(32, max_stride))
+        sel = mat[:, 9] < float(adaptive_fine_tau)      # tau_n [ns]
+        n_fine_bucket = int(sel.sum())
+        if n_fine_bucket:
+            f_full, f_w, f_m, f_conv = _rms_set(sched_fine)
+            rms_full = np.where(sel, f_full, rms_full)
+            rms_w = np.where(sel, f_w, rms_w)
+            rms_m = np.where(sel, f_m, rms_m)
+            conv = np.where(sel, f_conv, conv)
     n_win = win.sum(axis=1)
-    rms_w = np.sqrt(np.diagonal(np.asarray(sse_w)) / n_win)
     n_win_m = win_m.sum(axis=1)
-    rms_m = np.sqrt(np.diagonal(np.asarray(sse_m)) / n_win_m)
-    conv = np.asarray(conv)
     report = dict(
         batch=batch, T=T, profile=profile, seed=seed,
         schedule=[list(p) for p in schedule],
+        adaptive_fine_tau=adaptive_fine_tau,
+        adaptive_fine_bucket=n_fine_bucket,
         rms_log10_pl_max_meas=float(np.nanmax(rms_m)),
         rms_log10_pl_max=float(np.nanmax(rms_w)),
         rms_log10_pl_mean=float(np.nanmean(rms_w)),
@@ -326,6 +350,17 @@ def main(argv=None):
                          "Power_scan curves (default; the steep profiles "
                          "behind the production non-converged corner) or "
                          "smooth synthetic")
+    ap.add_argument("--fine-steps", type=int, default=256,
+                    help="fast-ladder fine-phase length (schedule sweeps)")
+    ap.add_argument("--base-stride", type=int, default=16)
+    ap.add_argument("--max-stride", type=int, default=64)
+    ap.add_argument("--steps-per-phase", type=int, default=512)
+    ap.add_argument("--adaptive-fine-tau", type=float, default=None,
+                    help="route samples with tau_n below this many ns "
+                         "through the fine bucket ladder (512/16/32) and "
+                         "the rest through the shipped ladder — the "
+                         "production adaptive schedule (GridConfig."
+                         "adaptive_fine_tau)")
     ap.add_argument("--meas-decades", type=float, default=10.0,
                     help="measurement window for the gated rms: points "
                          "within this many decades of each curve's peak")
@@ -398,9 +433,14 @@ def main(argv=None):
                           args.profile)
 
     report = run_gate(lp64, batch=args.batch, T=args.T, seed=args.seed,
+                      fine_steps=args.fine_steps,
+                      base_stride=args.base_stride,
+                      max_stride=args.max_stride,
+                      steps_per_phase=args.steps_per_phase,
                       t_exact=t_exact, profile=args.profile,
                       method=args.method, predictor=args.predictor,
-                      meas_decades=args.meas_decades)
+                      meas_decades=args.meas_decades,
+                      adaptive_fine_tau=args.adaptive_fine_tau)
     ok = (report["rms_log10_pl_max_meas"] <= args.tol
           and report["rms_log10_pl_max"] <= args.tol10
           and report["non_converged"] == 0)

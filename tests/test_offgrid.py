@@ -161,3 +161,42 @@ def test_table_builder_slots():
     # Node-exact point (5.0 = fine step 5 = phase2 local 1.0 -> frac 0.5
     # of stride 2): weights sum to 1 everywhere a point exists.
     np.testing.assert_allclose(W2.sum(axis=-1), M2, atol=1e-12)
+
+
+def test_offgrid_kernel_phase_matches_scan(monkeypatch):
+    """The r5 off-grid horizon-kernel path (interpret mode on CPU) == the
+    XLA scan path to f32 reassociation, weighted and unweighted
+    (ops/pallas/horizon_kernel.solve_phase_offgrid_fused)."""
+    from bayesian_inference_trpl_tpu.models.driver import pl_log_scale
+    from bayesian_inference_trpl_tpu.ops.pallas import horizon_kernel as hk
+
+    monkeypatch.setattr(hk, "TIME_BLOCK", 24)
+    T = 24
+    rng = np.random.default_rng(4)
+    sim, mat, mat_nd, n0, p0, _ = _problem(T, batch=8)
+    schedule = ((1, 12), (2, 12))      # fine + one coarse kernel launch
+    t_obs = np.concatenate([[0.0], np.geomspace(sim.dt * 0.7,
+                                                sim.time * 0.9, 7)])
+    v_obs = np.log10(1e-3 * np.exp(-t_obs / 200.0))
+    w_obs = rng.uniform(0.5, 2.0, len(t_obs))   # sigma weights: the
+    #   weighted path exercises the unweighted accumulation too (the
+    #   math is weight-linear; an all-ones run is a strict subset).
+    ls = jnp.asarray(pl_log_scale(sim), jnp.float32)
+    mat32 = mat_nd.astype(jnp.float32)
+    n32, p32 = n0.astype(jnp.float32), p0.astype(jnp.float32)
+    cfg32 = SolverConfig(num_steps=T, pl_stride=1, tol=1e-4, max_iters=8,
+                         method="coupled_newton", predictor="quadratic",
+                         step_tol=1e-6)
+    tables = build_offgrid_tables([t_obs], [v_obs], schedule, sim.dt,
+                                  weights=[w_obs])
+    res = {}
+    for method in ("coupled_newton", "fused_horizon_chord"):
+        r = solve_offgrid(mat32, n32, p32, jnp.zeros_like(n32),
+                          cfg32._replace(method=method), tables,
+                          schedule, ls, FLOAT_MIN)
+        res[method] = (np.asarray(r.sse), np.asarray(r.err_sum),
+                       np.asarray(r.converged))
+    a, b = res["coupled_newton"], res["fused_horizon_chord"]
+    np.testing.assert_array_equal(a[2], b[2])
+    np.testing.assert_allclose(b[0], a[0], rtol=2e-5)
+    np.testing.assert_allclose(b[1], a[1], rtol=2e-4, atol=1e-4)
