@@ -80,6 +80,14 @@ CHORD_SETTLE_GUARD = float(os.environ.get("TRPL_CHORD_SETTLE_GUARD", "10.0"))
 # Hoist the first chord/Newton iteration out of the while loop (measured
 # SLOWER — see the refutation note at the hoist site; default off).
 CHORD_SPECULATE = os.environ.get("TRPL_CHORD_SPECULATE", "0") == "1"
+# Keep the four (tile, L) Newton-loop arrays (Nk, Pk, F_N, F_P) in VMEM
+# scratch instead of the while carry — DEFAULT ON since r5: outputs are
+# bitwise identical and the measured gain is +4.3-5.4% on the fast path
+# (A/B both orders: 231.7k vs 219.8k, 230.0k vs 220.5k sims/min/chip)
+# and +1.0% in exact mode (14,148 vs 14,012, 3 reps each) — the carry
+# traffic the refuted SPECULATE restructure targeted, removed without
+# duplicating the body.  TRPL_CHORD_SCRATCH_CARRY=0 restores the carry.
+CHORD_SCRATCH_CARRY = os.environ.get("TRPL_CHORD_SCRATCH_CARRY", "1") == "1"
 STRICT_SETTLE_GUARD = 0.0
 STRICT_SKIP_TIGHTEN = 0.1
 
@@ -254,7 +262,11 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
                                 update_e)
     from ..block_tridiag import block_pcr_apply, block_pcr_reduce
 
-    kc1, kc2, fin, dxn, dxp, cval, fulls, execs = cache_refs
+    if CHORD_SCRATCH_CARRY:
+        (kc1, kc2, fin, dxn, dxp, nk_s, pk_s, fn_s, fp_s, cval, fulls,
+         execs) = cache_refs
+    else:
+        kc1, kc2, fin, dxn, dxp, cval, fulls, execs = cache_refs
     tile, L = Nk.shape
     NS = max(L.bit_length() - 2, 0)        # sweeps: L=128 -> 6
     rf = L // 2
@@ -280,8 +292,7 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             done, it = carry[6], carry[8]
             return (it < max_iters) & (jnp.min(done) < 0.5)
 
-        def body(carry):
-            Nk, Pk, F_N, F_P, err_n, err_p, done, its, it, ffull = carry
+        def body_core(Nk, Pk, F_N, F_P, err_n, err_p, done, its, it, ffull):
             do_full = ffull > 0.5
             # Tile-wide executed body iterations (chord OR full): the VPU
             # runs every lane of the tile regardless of per-sample masks,
@@ -370,6 +381,9 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
             return (Nk, Pk, F_N, F_P, err_n2, err_p2, done, its, it + 1,
                     ffull)
 
+        def body(carry):
+            return body_core(*carry)
+
         # Speculative first iteration OUTSIDE the while loop (the "no
         # while-carry on the common 1-iteration step" restructure
         # PRECISION.md's r4 sweep proposed): solve_loop only runs when at
@@ -385,8 +399,41 @@ def _newton_solve_chord(Nk, Pk, bN, bP, bE, mp, a0, tol, step_tol, max_iters,
                  jnp.int32(0), ffull0)
         if CHORD_SPECULATE:
             carry = body(carry)
-        Nk, Pk, _, _, err_n, err_p, done, its, _, _ = jax.lax.while_loop(
-            cond, body, carry)
+        if CHORD_SCRATCH_CARRY:
+            # Scratch-resident loop state (r5 experiment): the four
+            # (tile, L) arrays live in VMEM scratch between iterations;
+            # the while carry holds only (tile, 1) columns and scalars.
+            Nk0, Pk0, F_N0c, F_P0c, err_n, err_p, done0c, its0, it0, \
+                ffull0c = carry
+            nk_s[:] = Nk0
+            pk_s[:] = Pk0
+            fn_s[:] = F_N0c
+            fp_s[:] = F_P0c
+
+            def cond_s(carry):
+                done, it = carry[2], carry[4]
+                return (it < max_iters) & (jnp.min(done) < 0.5)
+
+            def body_s(carry):
+                err_n, err_p, done, its, it, ffull = carry
+                out = body_core(nk_s[:], pk_s[:], fn_s[:], fp_s[:],
+                                err_n, err_p, done, its, it, ffull)
+                (Nk2, Pk2, F_N2, F_P2, err_n2, err_p2, done, its, it2,
+                 ffull) = out
+                nk_s[:] = Nk2
+                pk_s[:] = Pk2
+                fn_s[:] = F_N2
+                fp_s[:] = F_P2
+                return (err_n2, err_p2, done, its, it2, ffull)
+
+            err_n, err_p, done, its, _, _ = jax.lax.while_loop(
+                cond_s, body_s,
+                (err_n, err_p, done0c, its0, it0, ffull0c))
+            Nk = nk_s[:]
+            Pk = pk_s[:]
+        else:
+            Nk, Pk, _, _, err_n, err_p, done, its, _, _ = \
+                jax.lax.while_loop(cond, body, carry)
         ok_fin = ((err_n < tol) & (err_p < tol)).astype(done.dtype)
         return Nk, Pk, jnp.maximum(done, ok_fin), its
 
@@ -801,6 +848,10 @@ def _call(mat_t, n0, p0, e0, obs_sc, msk_sc, vmask_sc, pl0_in, bdf_tab,
             pltpu.VMEM((16, tile, L // 2), dtype),  # final pair-solve blocks
             pltpu.VMEM((tile, L), dtype),           # dx_n mailbox
             pltpu.VMEM((tile, L), dtype),           # dx_p mailbox
+        ]
+        if CHORD_SCRATCH_CARRY:
+            scratch += [pltpu.VMEM((tile, L), dtype)] * 4   # Nk/Pk/F_N/F_P
+        scratch += [
             pltpu.SMEM((1, 1), dtype),              # cache-valid flag
             pltpu.SMEM((1, 1), dtype),              # full-solve counter
             pltpu.SMEM((1, 1), dtype),              # executed-body counter
