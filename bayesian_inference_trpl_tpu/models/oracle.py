@@ -53,7 +53,7 @@ def dydt(t, y, L, dx, n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP, lam_nm):
 
 
 def solve_oracle(mat_par, length, time, L, num_pl, init_dn,
-                 rtol=1e-8, atol=1e-12, max_step=None, retries=6):
+                 rtol=1e-8, atol=1e-12, max_step=1.0, retries=6):
     """Integrate one parameter set; returns times, N(t), P(t), E(t), PL(t).
 
     Args:
@@ -63,7 +63,10 @@ def solve_oracle(mat_par, length, time, L, num_pl, init_dn,
       max_step: solve_ivp hmax; None picks it from the low-injection
         effective lifetime — fast-decaying samples (tau_eff < time/100)
         start at hmax 0.025 ns, others at 1.0 ns, the reference CPU
-        fallback's heuristic (pvSim_fallback.py:94-98).
+        fallback's heuristic (pvSim_fallback.py:94-98).  Opt-in (the
+        default stays 1.0): on long horizons the 0.025 ns cap makes BDF
+        ~40x slower, and the negative-density retry below already
+        recovers the corners the heuristic was protecting.
       retries: a result with negative densities (or a failed integration
         at an extreme corner) is re-integrated with hmax halved, up to
         this many times — the reference test harness's recovery loop
@@ -77,11 +80,20 @@ def solve_oracle(mat_par, length, time, L, num_pl, init_dn,
     n0, p0, DN, DP, B, Sf, Sb, CN, CP, tauN, tauP, lam_nm = [float(v) for v in mat_par]
     dx = length / L
     if max_step is None:
-        # Exact inverse of UNIT_CONVERSIONS' mobility->diffusivity factor
-        # (physics.py:34): nm^2/ns diffusivity -> cm^2/Vs mobility.
-        mu_n = DN / (physics.KB_T * 1e14 / 1e9)
-        teff = physics.LI_tau_eff(B, p0, tauN, Sf, Sb, CP, length, mu_n)
-        max_step = 0.025 if teff < time / 100.0 else 1.0
+        # LI_tau_eff expects the reference's user units (cm-based rates,
+        # cm^2/Vs mobility, nm thickness) — convert back from the solver
+        # units this oracle runs in.  np.float64 + errstate: zero-valued
+        # B/CP corners divide to inf lifetimes (no contribution) instead
+        # of raising.
+        uc = physics.UNIT_CONVERSIONS
+        with np.errstate(divide="ignore"):
+            teff = float(physics.LI_tau_eff(
+                np.float64(B / uc[4]), np.float64(p0 / uc[1]),
+                np.float64(tauN), np.float64(Sf / uc[5]),
+                np.float64(Sb / uc[6]), np.float64(CP / uc[8]),
+                np.float64(length), np.float64(DN / uc[2])))
+        max_step = 0.025 if (np.isfinite(teff)
+                             and teff < time / 100.0) else 1.0
     y0 = np.concatenate([init_dn + n0, init_dn + p0, np.zeros(L + 1)])
     t_eval = np.linspace(0.0, time, num_pl)
     h = float(max_step)

@@ -124,7 +124,8 @@ def test_oracle_hmax_heuristic_and_negative_density_retry(monkeypatch):
     monkeypatch.setattr(om, "solve_ivp", spy)
     L = 16
     init_dn = np.full(L, 1e18 / 1e7 ** 3)
-    om.solve_oracle(mat, 311.0, 100.0, L, 11, init_dn, rtol=1e-6, atol=1e-10)
+    om.solve_oracle(mat, 311.0, 100.0, L, 11, init_dn, rtol=1e-6,
+                    atol=1e-10, max_step=None)
     assert seen[0] == 0.025
 
     # Slow sample -> hmax 1.0 (the old default, unchanged trajectories).
@@ -132,7 +133,7 @@ def test_oracle_hmax_heuristic_and_negative_density_retry(monkeypatch):
     mat_slow = np.array([1e8, 1e14, 20.0, 20.0, 1e-11, 1.0, 1.0, 1e-30,
                          1e-30, 500.0, 500.0, 0.1]) * physics.UNIT_CONVERSIONS[:12]
     om.solve_oracle(mat_slow, 311.0, 10.0, L, 11, init_dn, rtol=1e-6,
-                    atol=1e-10)
+                    atol=1e-10, max_step=None)
     assert seen[0] == 1.0
 
     # Force one negative-density result: the retry must halve hmax.

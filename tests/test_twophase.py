@@ -236,5 +236,9 @@ def test_predictor_parity(problem, predictor):
               cfg._replace(predictor=predictor, tol=1e-7, max_iters=60),
               obs=obs, record_pl=False)
     assert np.asarray(r.converged).all()
+    # atol floor: a perfectly-fit experiment's sse sits at f64 noise
+    # (~1e-15), where pure-rtol comparison measures only the compiler's
+    # reduction order (the r5 weight-linear accumulation changed the
+    # reduction graph and shifted these noise-level sums).
     np.testing.assert_allclose(np.asarray(r.sse), np.asarray(base.sse),
-                               rtol=5e-4)
+                               rtol=5e-4, atol=1e-9)
